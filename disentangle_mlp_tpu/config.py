@@ -1,0 +1,222 @@
+"""Config / flag system + run-directory bootstrap.
+
+TPU-native replacement for the reference's ``EnvSetter``
+(reference: utils/envsetter.py:6-98). Provides the same CLI surface (flag
+names, ``%`` path templating by run name / dataset) and creates the same
+output directory tree, but is built around a plain dataclass so programs and
+tests can construct configurations without argparse.
+
+Differences from the reference (deliberate):
+- ``fid_path_recons`` is defined (the reference reads this attribute at
+  experiments/new_betavaegan.py:234 but never sets it — envsetter.py:95 only
+  defines ``fid_path_samples``; we create ``fid_results/recons`` and set it).
+- ``lr`` defaults to 3e-4, the value used by every published run
+  (reference report Table 3; results/logs/*.json ``args``) rather than the
+  stale 3e-3 argparse default (envsetter.py:43).
+- TPU flags: ``--mesh_shape``, ``--dtype``, ``--freeze_mode``,
+  ``--synthetic_data``, ``--profile_dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import warnings
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+
+def str2bool(v) -> bool:
+    """Truthiness parser matching the reference (envsetter.py:49-50)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() == "true"
+
+
+@dataclasses.dataclass
+class Config:
+    """All run settings. Field names mirror the reference's argparse flags
+    (envsetter.py:13-55) so checkpoints/logs/CLI remain drop-in compatible."""
+
+    name: str = "run"
+    seed: int = 999
+    num_workers: int = 4
+    log_interval: int = 10
+    # Kept for CLI compatibility; ignored on TPU (device selection is via
+    # JAX_PLATFORMS / mesh flags instead of CUDA_VISIBLE_DEVICES).
+    use_gpus: str = ""
+
+    load_path: List[str] = dataclasses.field(default_factory=list)
+    save_path: str = "./data/%"
+    log_path: str = "./data/%/log"
+    fid_path_pretrained: str = "/home/shared/evaluation/fid/fid_stats_celeba.npz"
+
+    dataset: str = "celebA"
+    image_root_train: str = "/home/shared/data/%/train"
+    image_root_val: str = "/home/shared/data/%/val"
+    image_root_test: str = "/home/shared/data/%/test"
+
+    epochs: int = 30
+    batch_size_train: int = 256
+    batch_size_val: int = 256
+    batch_size_test: int = 5
+    n_samples: int = 1000
+    n_z: List[int] = dataclasses.field(default_factory=lambda: [256, 8, 8])
+    n_hidden: int = 128
+    lr: float = 3e-4
+    beta: float = 50.0
+
+    input_channels: int = 3
+    img_size: int = 64
+
+    calc_fid: bool = True
+    to_train: bool = True
+    test_recons: bool = False
+    test_samples: bool = False
+
+    # --- TPU-native additions -------------------------------------------
+    # 'observed' reproduces the reference's logged behaviour: the no-op
+    # requires_grad freezing (new_betavaegan.py:131-143,169-180) means both
+    # decoder- and encoder-phase updates step ALL VAE parameters. 'intent'
+    # masks gradients to the stated sub-network per phase.
+    freeze_mode: str = "observed"
+    # Compute dtype for model forward/backward ('bfloat16' or 'float32').
+    # Params and optimizer state are always float32.
+    dtype: str = "bfloat16"
+    # Data-parallel mesh size; 0 = all visible devices.
+    mesh_shape: int = 0
+    # Replace the image-folder dataset with an on-device synthetic stream
+    # (for benchmarking / machines without CelebA).
+    synthetic_data: bool = False
+    synthetic_train_size: int = 4096
+    # If set, jax.profiler traces are written here.
+    profile_dir: str = ""
+
+    # --- derived output paths (filled by finalize()) ---------------------
+    model_path: str = ""
+    results_path_recons: str = ""
+    results_path_samples: str = ""
+    test_results_path_recons: str = ""
+    test_results_path_originals: str = ""
+    test_results_path_samples: str = ""
+    fid_path_samples: str = ""
+    fid_path_recons: str = ""
+
+    def finalize(self, make_dirs: bool = True) -> "Config":
+        """Apply '%' templating and derive/create the output tree.
+
+        Mirrors envsetter.py:60-64 (templating) and :68-95 (dir tree),
+        fixing the missing ``fid_results/recons`` entry.
+        """
+        self.save_path = self.save_path.replace("%", self.name)
+        self.log_path = self.log_path.replace("%", self.name)
+        self.image_root_train = self.image_root_train.replace("%", self.dataset)
+        self.image_root_val = self.image_root_val.replace("%", self.dataset)
+        self.image_root_test = self.image_root_test.replace("%", self.dataset)
+
+        sp = self.save_path
+        self.model_path = sp + "/models"
+        self.results_path_recons = sp + "/results/recons"
+        self.results_path_samples = sp + "/results/samples"
+        self.test_results_path_recons = sp + "/test_results/recons"
+        self.test_results_path_originals = sp + "/test_results/originals"
+        self.test_results_path_samples = sp + "/test_results/samples"
+        self.fid_path_samples = sp + "/fid_results/samples"
+        self.fid_path_recons = sp + "/fid_results/recons"
+
+        if make_dirs:
+            root = Path(sp)
+            if root.exists():
+                warnings.warn(
+                    "Path exists and containing files could be overwritten",
+                    UserWarning,
+                )
+            for p in (
+                root,
+                self.model_path,
+                sp + "/results",
+                self.results_path_recons,
+                self.results_path_samples,
+                self.test_results_path_recons,
+                self.test_results_path_originals,
+                self.test_results_path_samples,
+                self.fid_path_samples,
+                self.fid_path_recons,
+                self.log_path,
+            ):
+                Path(p).mkdir(parents=True, exist_ok=True)
+        return self
+
+
+def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
+    """An argparse parser exposing every Config field under the reference's
+    flag names (envsetter.py:13-55) plus the TPU additions."""
+    p = argparse.ArgumentParser(description=description)
+    d = Config()
+
+    p.add_argument("--name", type=str, required=True)
+    p.add_argument("--seed", type=int, default=d.seed,
+                   help="random seed (default: 999)")
+    p.add_argument("--num_workers", type=int, default=d.num_workers)
+    p.add_argument("--log_interval", type=int, default=d.log_interval,
+                   help="how many batches to wait before logging training status")
+    p.add_argument("--use_gpus", type=str, default=d.use_gpus,
+                   help="ignored on TPU; kept for CLI compatibility")
+
+    p.add_argument("--load_path", type=str, nargs="+", default=[])
+    p.add_argument("--save_path", type=str, default=d.save_path)
+    p.add_argument("--log_path", type=str, default=d.log_path)
+    p.add_argument("--fid_path_pretrained", type=str, default=d.fid_path_pretrained)
+
+    p.add_argument("--dataset", type=str, default=d.dataset)
+    p.add_argument("--image_root_train", type=str, default=d.image_root_train)
+    p.add_argument("--image_root_val", type=str, default=d.image_root_val)
+    p.add_argument("--image_root_test", type=str, default=d.image_root_test)
+
+    p.add_argument("--epochs", type=int, default=d.epochs, metavar="N")
+    p.add_argument("--batch_size_train", type=int, default=d.batch_size_train, metavar="N")
+    p.add_argument("--batch_size_val", type=int, default=d.batch_size_val, metavar="N")
+    p.add_argument("--batch_size_test", type=int, default=d.batch_size_test, metavar="N")
+    p.add_argument("--n_samples", type=int, default=d.n_samples)
+    p.add_argument("--n_z", type=int, nargs="+", default=list(d.n_z))
+    p.add_argument("--n_hidden", type=int, default=d.n_hidden)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--beta", type=float, default=d.beta)
+
+    p.add_argument("--input_channels", type=int, default=d.input_channels)
+    p.add_argument("--img_size", type=int, default=d.img_size)
+
+    p.add_argument("--calc_fid", type=str2bool, default=d.calc_fid)
+    p.add_argument("--to_train", type=str2bool, default=d.to_train)
+    p.add_argument("--test_recons", type=str2bool, default=d.test_recons)
+    p.add_argument("--test_samples", type=str2bool, default=d.test_samples)
+
+    p.add_argument("--freeze_mode", type=str, default=d.freeze_mode,
+                   choices=["observed", "intent"])
+    p.add_argument("--dtype", type=str, default=d.dtype,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
+    p.add_argument("--synthetic_data", type=str2bool, default=d.synthetic_data)
+    p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
+    p.add_argument("--profile_dir", type=str, default=d.profile_dir)
+    return p
+
+
+class EnvSetter:
+    """Drop-in equivalent of the reference's EnvSetter (envsetter.py:6-98):
+    ``EnvSetter(name).get_parser()`` parses argv into a finalized Config and
+    creates the run directory tree as a side effect."""
+
+    def __init__(self, description: str, argv: Optional[Sequence[str]] = None,
+                 make_dirs: bool = True):
+        ns = build_arg_parser(description).parse_args(argv)
+        self._config = Config(**vars(ns)).finalize(make_dirs=make_dirs)
+
+    def get_parser(self) -> Config:
+        return self._config
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None,
+                     description: str = "",
+                     make_dirs: bool = True) -> Config:
+    return EnvSetter(description, argv=argv, make_dirs=make_dirs).get_parser()

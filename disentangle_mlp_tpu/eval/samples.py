@@ -1,0 +1,79 @@
+"""Sample / reconstruction artifact dumpers.
+
+Same four-function contract and filenames as the reference's
+``helper_functions`` module (reference: utils/utils.py:6-32):
+
+- ``generate_fid_samples(fn, epoch, n_samples, n_hidden, path)``:
+  z ~ N(0,1) → fn(z) → one file per image ``sample_{i}_{epoch}.png``.
+- ``generate_samples(...)``: one grid image ``sample_{epoch}.png``.
+- ``gen_reconstructions(fn, dl, epoch, path, nrow, path_for_originals)``:
+  first test batch → fn → grid ``recon_{epoch}.png`` (+ originals grid).
+- ``gen_fid_reconstructions``: per-image recon files ``recon_{i}_{epoch}.png``.
+
+``fn`` is any array→array callable (a jitted decode closure in training, a
+plain lambda in tests — the reference's fake-backend pattern,
+utils.py:35-57). Images are NHWC. Decoding happens on device in one batched
+call; only the final uint8 conversion touches the host. Extension is .png
+(fix for the reference's .pdf/glob mismatch — see image_io.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..utils.image_io import save_image, save_image_grid
+
+
+def _sample_latents(rng_seed: int, n_samples: int, n_hidden: int) -> jax.Array:
+    import jax.numpy as jnp
+    return jax.random.normal(
+        jax.random.key(rng_seed), (n_samples, n_hidden), jnp.float32)
+
+
+def generate_fid_samples(fn: Callable, epoch: int, n_samples: int,
+                         n_hidden: int, results_path: str,
+                         rng_seed: int = 0) -> np.ndarray:
+    """Decode n_samples random latents and save one PNG per image
+    (utils.py:21-26). Returns the decoded batch (NHWC float) so callers can
+    also score FID in memory without the disk round-trip."""
+    z = _sample_latents(rng_seed, n_samples, n_hidden)
+    batch = np.asarray(jax.device_get(fn(z)), np.float32)
+    for i in range(batch.shape[0]):
+        save_image(batch[i], f"{results_path}/sample_{i}_{epoch}.png",
+                   normalize=True)
+    return batch
+
+
+def generate_samples(fn: Callable, epoch: int, n_samples: int, n_hidden: int,
+                     results_path: str, nrow: int = 8,
+                     rng_seed: int = 0) -> None:
+    """Grid of decoded samples (utils.py:28-32)."""
+    z = _sample_latents(rng_seed, n_samples, n_hidden)
+    batch = np.asarray(jax.device_get(fn(z)), np.float32)
+    save_image_grid(batch, f"{results_path}/sample_{epoch}.png", nrow=nrow)
+
+
+def gen_reconstructions(fn: Callable, dl: Iterable, epoch: int,
+                        results_path: str, nrow: int = 8,
+                        path_for_originals: str = "") -> None:
+    """Reconstruct the first test batch into a grid (utils.py:13-19)."""
+    orig, _ = next(iter(dl))
+    batch = np.asarray(jax.device_get(fn(orig)), np.float32)
+    save_image_grid(batch, f"{results_path}/recon_{epoch}.png", nrow=nrow)
+    if path_for_originals:
+        save_image_grid(np.asarray(jax.device_get(orig), np.float32),
+                        f"{path_for_originals}/original_{epoch}.png",
+                        nrow=nrow)
+
+
+def gen_fid_reconstructions(fn: Callable, dl: Iterable, epoch: int,
+                            results_path: str) -> None:
+    """Per-image reconstruction files (utils.py:6-11)."""
+    orig, _ = next(iter(dl))
+    batch = np.asarray(jax.device_get(fn(orig)), np.float32)
+    for i in range(batch.shape[0]):
+        save_image(batch[i], f"{results_path}/recon_{i}_{epoch}.png",
+                   normalize=True)

@@ -1,0 +1,194 @@
+"""Building-block layers with PyTorch-parity shape semantics, NHWC layout.
+
+The reference's models (reference: models/model.py) are plain torch.nn
+stacks: Conv2d / ConvTranspose2d(output_size=...) / Linear / BatchNorm with
+DCGAN init (model.py:8-13). Here each is re-expressed TPU-first:
+
+- NHWC layout end to end (the native TPU conv layout).
+- Convolutions via ``lax.conv_general_dilated`` with explicit padding that
+  reproduces PyTorch output sizes exactly, accumulating in float32 on the
+  MXU (``preferred_element_type``) while reading/writing bfloat16.
+- ConvTranspose expressed as an input-dilated convolution with asymmetric
+  padding ``(k-1-p, k-1-p+output_padding)`` — the exact equivalent of
+  PyTorch's ``output_size=`` disambiguation (model.py:558-564) with
+  ``output_padding=1`` for the stride-2 8→16→32→64 ladder.
+- BatchNorm runs its statistics in float32 regardless of compute dtype and
+  supports a mesh ``axis_name`` for cross-replica statistics under data
+  parallelism (the reference's DataParallel computes per-GPU stats; global
+  stats are the TPU-native improvement).
+
+Initialization matches the reference's ``weights_init`` (model.py:8-13):
+conv kernels ~ N(0, 0.02²), BatchNorm scale ~ N(1, 0.02²) and bias 0;
+Linear layers and conv biases keep PyTorch's default
+U(-1/sqrt(fan_in), +1/sqrt(fan_in)), which ``weights_init`` never touches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Dtype = Any
+
+DCGAN_STD = 0.02
+
+
+def dcgan_normal_init(std: float = DCGAN_STD):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def torch_uniform_init(fan_in: int):
+    """PyTorch's default Linear/Conv bias init: U(±1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + jax.random.normal(key, shape, dtype) * DCGAN_STD
+
+
+class TorchConv(nn.Module):
+    """2D convolution on NHWC with PyTorch Conv2d(k, stride, padding) shape
+    semantics: out = floor((in + 2p - k)/s) + 1."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 1
+    padding: int = 2
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", dcgan_normal_init(), (k, k, in_ch, self.features)
+        )
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(s, s),
+            padding=((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_uniform_init(in_ch * k * k), (self.features,)
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class TorchConvTranspose(nn.Module):
+    """2D transposed convolution on NHWC with PyTorch
+    ConvTranspose2d(k, stride, padding, output_padding) shape semantics:
+    out = (in - 1)*s - 2p + k + output_padding.
+
+    Implemented as an input-dilated (fractionally-strided) convolution with
+    asymmetric padding — the canonical XLA form, which fuses cleanly and maps
+    onto the MXU. ``output_padding`` plays the role of the reference's
+    ``output_size=`` argument (reference: models/model.py:558-564)."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    padding: int = 2
+    output_padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        if op >= s and not (s == 1 and op == 0):
+            raise ValueError("output_padding must be smaller than stride")
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", dcgan_normal_init(), (k, k, in_ch, self.features)
+        )
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + op
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            # PyTorch ConvTranspose2d fan_in = out_channels * k * k.
+            bias = self.param(
+                "bias", torch_uniform_init(self.features * k * k), (self.features,)
+            )
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with PyTorch's default init (weights_init leaves Linear
+    untouched in the reference, models/model.py:8-13)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_f = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_uniform_init(in_f), (in_f, self.features)
+        )
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(in_f), (self.features,))
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch semantics (eps 1e-5, running-stat momentum 0.1)
+    and float32 statistics. ``axis_name`` enables cross-replica statistics
+    under a sharded batch; None computes them over the local (global, under
+    jit+mesh) batch axis, which XLA turns into the collective for free."""
+
+    use_running_average: bool = False
+    axis_name: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 use_running_average: Optional[bool] = None) -> jax.Array:
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
+        norm = nn.BatchNorm(
+            use_running_average=ura,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            axis_name=self.axis_name,
+            scale_init=bn_scale_init,
+            bias_init=nn.initializers.zeros,
+            name="bn",
+        )
+        return norm(x.astype(jnp.float32)).astype(self.dtype)
+
+
+def flatten_batch(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)

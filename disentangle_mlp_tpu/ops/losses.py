@@ -1,0 +1,60 @@
+"""Loss functions with exact PyTorch-reduction semantics.
+
+The reference mixes three loss families (all float32 math here regardless of
+model compute dtype):
+
+- ``bce``: torch.nn.BCELoss (mean reduction, log clamped at -100) applied to
+  sigmoid probabilities — used for every real/fake objective
+  (reference: experiments/new_betavaegan.py:53,101,118,153-154 and
+  new_gan.py:68,92,106,123).
+- ``kld``: unweighted KL divergence −½·Σ(1 + logσ² − μ² − exp(logσ²)),
+  summed over batch and latent dim (new_vae.py:46; the β weight is applied
+  by the caller, matching new_betavaegan.py:64-65).
+- ``sim_loss``: the Larsen et al. feature-wise ("Dis_l") similarity loss,
+  0.5·Σ(f_recon − f_real)² over the discriminator's 2048-d penultimate
+  features (new_betavaegan.py:67-69).
+- ``reconstruction_loss``: sum-reduction pixel MSE (new_betavaegan.py:71-75,
+  new_vae.py:40).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# torch.nn.BCELoss clamps each log term at -100 for p → 0/1 stability.
+_LOG_CLAMP = -100.0
+
+
+def bce(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Binary cross entropy on probabilities, mean reduction (torch BCELoss)."""
+    probs = probs.astype(jnp.float32)
+    targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), probs.shape)
+    log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
+    log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
+    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+
+
+def kld(mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """−½ Σ (1 + logσ² − μ² − σ²), summed over all elements."""
+    mu = mu.astype(jnp.float32)
+    logvar = logvar.astype(jnp.float32)
+    return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+
+
+def sim_loss(features_recon: jax.Array, features_real: jax.Array) -> jax.Array:
+    """0.5 · Σ (Dis_l(x̂) − Dis_l(x))² — feature-wise similarity."""
+    diff = features_recon.astype(jnp.float32) - features_real.astype(jnp.float32)
+    return 0.5 * jnp.sum(jnp.square(diff))
+
+
+def reconstruction_loss(recon_x: jax.Array, x: jax.Array) -> jax.Array:
+    """Sum-reduction pixel MSE."""
+    diff = recon_x.astype(jnp.float32) - x.astype(jnp.float32)
+    return jnp.sum(jnp.square(diff))
+
+
+def vae_loss(recon_x: jax.Array, x: jax.Array, mu: jax.Array,
+             logvar: jax.Array) -> jax.Array:
+    """Plain-VAE objective: MSE_sum + KLD (reference: new_vae.py:39-48)."""
+    return reconstruction_loss(recon_x, x) + kld(mu, logvar)

@@ -1,0 +1,139 @@
+"""DCGAN experiment: alternating D/G update in one jitted step.
+
+Parity target: experiments/new_gan.py:66-141.
+Per batch: draw smoothed/flipped labels (new_gan.py:77-78); D step on
+BCE(D(x), real) + BCE(D(G(z)), fake) (:84-113); G step on
+BCE(D_updated(G(z)), real) with the same z (:118-128 — ``fake`` is reused,
+and G's params are unchanged since it was produced, so recomputing
+G(z) under grad gives the identical value and gradient).
+
+Deviation (documented): the reference's epoch normalization overwrites
+``avg_loss_D`` with ``avg_loss_G / len(dataset)`` (new_gan.py:138-139),
+a bug that only affects the logged value; we report the true D loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models.gan import DiscriminatorCeleba, GeneratorCeleba
+from ..ops.losses import bce
+from .common import ModelState, apply_updates, init_model_state, make_adam, sample_labels
+
+
+@dataclasses.dataclass
+class GANExperiment:
+    generator: GeneratorCeleba
+    discriminator: DiscriminatorCeleba
+    g_state: ModelState
+    d_state: ModelState
+    train_step: Callable
+    generate: Callable[[ModelState, jax.Array], jax.Array]
+
+
+def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
+    dtype = jnp.dtype(cfg.dtype)
+    generator = GeneratorCeleba(
+        n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
+        output_channels=cfg.input_channels, dtype=dtype,
+    )
+    discriminator = DiscriminatorCeleba(
+        n_z=tuple(cfg.n_z), input_channels=cfg.input_channels, dtype=dtype,
+    )
+    tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+
+    rng_g, rng_d = jax.random.split(rng)
+    z_sample = jnp.zeros((2, cfg.n_hidden), jnp.float32)
+    x_sample = jnp.zeros(
+        (2, cfg.img_size, cfg.img_size, cfg.input_channels), jnp.float32
+    )
+    g_state = init_model_state(generator, rng_g, z_sample, tx_g, train=True)
+    d_state = init_model_state(discriminator, rng_d, x_sample, tx_d, train=True)
+
+    def d_apply(params, stats, x):
+        return discriminator.apply(
+            {"params": params, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+
+    def g_apply(params, stats, z):
+        return generator.apply(
+            {"params": params, "batch_stats": stats}, z, train=True,
+            mutable=["batch_stats"],
+        )
+
+    def train_step(g_state: ModelState, d_state: ModelState,
+                   batch: jax.Array, rng: jax.Array
+                   ) -> Tuple[ModelState, ModelState, Dict[str, jax.Array]]:
+        rng_label, rng_noise = jax.random.split(rng)
+        labels = sample_labels(rng_label)
+        noise = jax.random.normal(
+            rng_noise, (batch.shape[0], cfg.n_hidden), jnp.float32)
+
+        # --- (1) Update D: maximize log D(x) + log(1 - D(G(z))) ----------
+        fake, g_mut = g_apply(g_state.params, g_state.batch_stats, noise)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            (p_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
+            (p_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
+            err_real = bce(p_real, labels["real"])
+            err_fake = bce(p_fake, labels["fake"])
+            aux = {
+                "errD": err_real + err_fake,
+                "D_x": jnp.mean(p_real),
+                "D_G_z1": jnp.mean(p_fake),
+                "stats": mut2["batch_stats"],
+            }
+            return err_real + err_fake, aux
+
+        (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params)
+        d_state = apply_updates(d_state, d_grads, tx_d,
+                                new_batch_stats=d_aux["stats"])
+
+        # --- (2) Update G: maximize log D(G(z)) with the updated D -------
+        def g_loss_fn(g_params):
+            fake_g, mut = g_apply(g_params, g_state.batch_stats, noise)
+            (p_fake, _), d_mut = d_apply(
+                d_state.params, d_state.batch_stats, fake_g)
+            err_g = bce(p_fake, labels["real"])
+            return err_g, {
+                "errG": err_g,
+                "D_G_z2": jnp.mean(p_fake),
+                "g_stats": mut["batch_stats"],
+                "d_stats": d_mut["batch_stats"],
+            }
+
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params)
+        d_state = d_state.replace(batch_stats=g_aux["d_stats"])
+        g_state = apply_updates(g_state, g_grads, tx_g,
+                                new_batch_stats=g_aux["g_stats"])
+
+        metrics = {
+            "errD": d_aux["errD"],
+            "errG": g_aux["errG"],
+            "D_x": d_aux["D_x"],
+            "D_G_z1": d_aux["D_G_z1"],
+            "D_G_z2": g_aux["D_G_z2"],
+        }
+        return g_state, d_state, metrics
+
+    def generate(g_state: ModelState, z: jax.Array) -> jax.Array:
+        out, _ = g_apply(g_state.params, g_state.batch_stats, z)
+        return out
+
+    return GANExperiment(
+        generator=generator,
+        discriminator=discriminator,
+        g_state=g_state,
+        d_state=d_state,
+        train_step=jax.jit(train_step, donate_argnums=(0, 1)),
+        generate=jax.jit(generate),
+    )

@@ -1,0 +1,47 @@
+"""Checkpoint save/restore.
+
+Same cadence and CLI semantics as the reference (SURVEY.md §5): one
+checkpoint per epoch under ``<save_path>/models/model_<epoch+1>``, holding
+{epoch, model state(s) incl. optimizer moments}; ``--load_path`` restores
+everything and returns the epoch (reference: new_betavaegan.py:222-228,
+:203-209; new_vae.py:88-91,:72-76; new_gan.py:169-174,:143-151).
+
+Implementation: orbax-free msgpack serialization via flax.serialization —
+keeps checkpoints dependency-light, host-portable, and restorable into the
+exact pytree structure (orbax's async machinery buys nothing at this model
+size; revisit if models grow).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(path: str, epoch: int, states: Dict[str, Any]) -> str:
+    """Serialize {epoch, **states} to ``path`` (a file, conventionally
+    ``<model_path>/model_<epoch+1>``)."""
+    payload = {
+        "epoch": epoch,
+        "states": jax.device_get(serialization.to_state_dict(states)),
+    }
+    data = serialization.msgpack_serialize(payload)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:
+    """Restore states into the structure of ``template_states``.
+    Returns (epoch, states)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    epoch = int(raw["epoch"])
+    states = serialization.from_state_dict(template_states, raw["states"])
+    return epoch, states

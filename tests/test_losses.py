@@ -1,0 +1,68 @@
+"""Golden-value loss tests vs torch (the reference's loss definitions:
+new_betavaegan.py:64-75, new_vae.py:39-48)."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from disentangle_mlp_tpu.ops.losses import (
+    bce, kld, reconstruction_loss, sim_loss, vae_loss)
+
+rng = np.random.default_rng(0)
+
+
+def test_bce_matches_torch():
+    p = rng.uniform(1e-4, 1 - 1e-4, size=(64,)).astype(np.float32)
+    for target in (0.1, 0.9):
+        ours = float(bce(jnp.asarray(p), target))
+        theirs = float(F.binary_cross_entropy(
+            torch.from_numpy(p), torch.full((64,), target)))
+        assert abs(ours - theirs) < 1e-5
+
+
+def test_bce_extreme_probs_finite():
+    p = jnp.asarray([0.0, 1.0, 0.5])
+    assert np.isfinite(float(bce(p, 0.9)))
+    # torch clamps log at -100; check our clamp matches at p=0, target=1
+    ours = float(bce(jnp.asarray([0.0]), 1.0))
+    theirs = float(F.binary_cross_entropy(
+        torch.tensor([0.0]), torch.tensor([1.0])))
+    assert abs(ours - theirs) < 1e-4
+
+
+def test_kld_matches_torch():
+    mu = rng.normal(size=(8, 16)).astype(np.float32)
+    logvar = rng.normal(size=(8, 16)).astype(np.float32)
+    ours = float(kld(jnp.asarray(mu), jnp.asarray(logvar)))
+    mu_t, lv_t = torch.from_numpy(mu), torch.from_numpy(logvar)
+    theirs = float(-0.5 * torch.sum(1 + lv_t - mu_t.pow(2) - lv_t.exp()))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_sim_and_recon_match_torch():
+    a = rng.normal(size=(4, 2048)).astype(np.float32)
+    b = rng.normal(size=(4, 2048)).astype(np.float32)
+    ours = float(sim_loss(jnp.asarray(a), jnp.asarray(b)))
+    theirs = float(0.5 * F.mse_loss(torch.from_numpy(a), torch.from_numpy(b),
+                                    reduction="sum"))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+    x = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    y = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    ours = float(reconstruction_loss(jnp.asarray(x), jnp.asarray(y)))
+    theirs = float(F.mse_loss(torch.from_numpy(x), torch.from_numpy(y),
+                              reduction="sum"))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_vae_loss_composition():
+    x = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    r = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    mu = rng.normal(size=(2, 8)).astype(np.float32)
+    lv = rng.normal(size=(2, 8)).astype(np.float32)
+    total = float(vae_loss(jnp.asarray(r), jnp.asarray(x),
+                           jnp.asarray(mu), jnp.asarray(lv)))
+    parts = float(reconstruction_loss(jnp.asarray(r), jnp.asarray(x))) + \
+        float(kld(jnp.asarray(mu), jnp.asarray(lv)))
+    np.testing.assert_allclose(total, parts, rtol=1e-6)
