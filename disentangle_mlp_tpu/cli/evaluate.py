@@ -1,0 +1,27 @@
+"""Offline eval CLI — checkpoint sweep producing FID / reconstructions /
+samples. Parity with utils/generate_samples_recons.py (reference: :36-56):
+
+    python -m disentangle_mlp_tpu.cli.evaluate --model betavaegan \
+        --name eval --load_path m1 m2 --test_recons True --test_samples True
+"""
+
+from __future__ import annotations
+
+from ..config import Config, build_arg_parser
+from ..train.loop import RUNNERS
+
+
+def main(argv=None) -> None:
+    parser = build_arg_parser("disentangle_mlp_tpu offline eval")
+    parser.add_argument("--model", type=str, default="betavaegan",
+                        choices=sorted(RUNNERS.keys()))
+    ns = parser.parse_args(argv)
+    model = ns.model
+    kwargs = {k: v for k, v in vars(ns).items() if k != "model"}
+    kwargs["to_train"] = False  # sweep only
+    cfg = Config(**kwargs).finalize()
+    RUNNERS[model](cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,17 @@ class Config:
     input_channels: int = 3
     img_size: int = 64
 
+    # Model width knobs — defaults are the reference architecture
+    # (models/model.py:449-509, 388-408); tests shrink them to keep the
+    # identical graph cheap on CPU.
+    representation_size: int = 64
+    head_width: int = 2048
+    decoder_channels: List[int] = dataclasses.field(
+        default_factory=lambda: [256, 128, 32])
+    disc_channels: List[int] = dataclasses.field(
+        default_factory=lambda: [32, 128, 256, 256])
+    disc_feature_dim: int = 2048
+
     calc_fid: bool = True
     to_train: bool = True
     test_recons: bool = False
@@ -185,6 +196,14 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
 
     p.add_argument("--input_channels", type=int, default=d.input_channels)
     p.add_argument("--img_size", type=int, default=d.img_size)
+
+    p.add_argument("--representation_size", type=int, default=d.representation_size)
+    p.add_argument("--head_width", type=int, default=d.head_width)
+    p.add_argument("--decoder_channels", type=int, nargs=3,
+                   default=list(d.decoder_channels))
+    p.add_argument("--disc_channels", type=int, nargs=4,
+                   default=list(d.disc_channels))
+    p.add_argument("--disc_feature_dim", type=int, default=d.disc_feature_dim)
 
     p.add_argument("--calc_fid", type=str2bool, default=d.calc_fid)
     p.add_argument("--to_train", type=str2bool, default=d.to_train)

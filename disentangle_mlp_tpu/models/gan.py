@@ -34,17 +34,19 @@ class GeneratorCeleba(CelebaDecoder):
 class DiscriminatorCeleba(nn.Module):
     n_z: Sequence[int] = (256, 8, 8)
     input_channels: int = 3
+    channels: Sequence[int] = (32, 128, 256, 256)  # conv widths (model.py:388-400)
     feature_dim: int = 2048
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
 
     def setup(self):
         dt = self.dtype
+        c1, c2, c3, c4 = self.channels
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
-        self.conv1, self.bn1 = TorchConv(32, 5, stride=1, padding=2, dtype=dt), bn()
-        self.conv2, self.bn2 = TorchConv(128, 5, stride=2, padding=2, dtype=dt), bn()
-        self.conv3, self.bn3 = TorchConv(256, 5, stride=2, padding=2, dtype=dt), bn()
-        self.conv4, self.bn4 = TorchConv(256, 5, stride=2, padding=2, dtype=dt), bn()
+        self.conv1, self.bn1 = TorchConv(c1, 5, stride=1, padding=2, dtype=dt), bn()
+        self.conv2, self.bn2 = TorchConv(c2, 5, stride=2, padding=2, dtype=dt), bn()
+        self.conv3, self.bn3 = TorchConv(c3, 5, stride=2, padding=2, dtype=dt), bn()
+        self.conv4, self.bn4 = TorchConv(c4, 5, stride=2, padding=2, dtype=dt), bn()
         self.lth_features = TorchLinear(self.feature_dim, dtype=dt)
         self.sigmoid_output = TorchLinear(1, dtype=dt)
 

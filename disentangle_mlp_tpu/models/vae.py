@@ -35,10 +35,15 @@ Dtype = Any
 
 
 class CelebaEncoder(nn.Module):
-    """Conv feature stack + μ/logσ² heads (reference: models/model.py:449-471)."""
+    """Conv feature stack + μ/logσ² heads (reference: models/model.py:449-471).
+
+    ``representation_size``/``head_width`` default to the reference's 64/2048;
+    they are parameterized so tests can exercise the identical graph at a
+    fraction of the FLOPs."""
 
     n_hidden: int = 128
     representation_size: int = 64
+    head_width: int = 2048
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
@@ -50,9 +55,9 @@ class CelebaEncoder(nn.Module):
         self.conv1, self.bn1 = conv(rs), bn()
         self.conv2, self.bn2 = conv(rs * 2), bn()
         self.conv3, self.bn3 = conv(rs * 4), bn()
-        self.mu_fc1, self.mu_bn = TorchLinear(2048, dtype=dt), bn()
+        self.mu_fc1, self.mu_bn = TorchLinear(self.head_width, dtype=dt), bn()
         self.mu_fc2 = TorchLinear(self.n_hidden, dtype=dt)
-        self.lv_fc1, self.lv_bn = TorchLinear(2048, dtype=dt), bn()
+        self.lv_fc1, self.lv_bn = TorchLinear(self.head_width, dtype=dt), bn()
         self.lv_fc2 = TorchLinear(self.n_hidden, dtype=dt)
 
     def __call__(self, x: jax.Array, train: bool = True) -> Tuple[jax.Array, jax.Array]:
@@ -74,6 +79,7 @@ class CelebaDecoder(nn.Module):
 
     n_hidden: int = 128
     n_z: Sequence[int] = (256, 8, 8)  # (channels, height, width), as the reference flags it
+    channels: Sequence[int] = (256, 128, 32)  # ConvT ladder widths (model.py:495-507)
     output_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
@@ -81,15 +87,16 @@ class CelebaDecoder(nn.Module):
     def setup(self):
         dt = self.dtype
         ch, h, w = self.n_z
+        c1, c2, c3 = self.channels
         self._reshape_to = (h, w, ch)
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
         self.preprocess = TorchLinear(ch * h * w, dtype=dt)
         self.pre_bn = bn()
         dconv = lambda c, s, op: TorchConvTranspose(
             c, 5, stride=s, padding=2, output_padding=op, dtype=dt)
-        self.deconv1, self.dbn1 = dconv(256, 2, 1), bn()
-        self.deconv2, self.dbn2 = dconv(128, 2, 1), bn()
-        self.deconv3, self.dbn3 = dconv(32, 2, 1), bn()
+        self.deconv1, self.dbn1 = dconv(c1, 2, 1), bn()
+        self.deconv2, self.dbn2 = dconv(c2, 2, 1), bn()
+        self.deconv3, self.dbn3 = dconv(c3, 2, 1), bn()
         self.deconv4 = dconv(self.output_channels, 1, 0)
 
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
@@ -112,6 +119,8 @@ class VAE(nn.Module):
     n_hidden: int = 128
     n_z: Sequence[int] = (256, 8, 8)
     representation_size: int = 64
+    head_width: int = 2048
+    decoder_channels: Sequence[int] = (256, 128, 32)
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
@@ -120,6 +129,7 @@ class VAE(nn.Module):
         self.encoder = CelebaEncoder(
             n_hidden=self.n_hidden,
             representation_size=self.representation_size,
+            head_width=self.head_width,
             input_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
@@ -127,6 +137,7 @@ class VAE(nn.Module):
         self.decoder = CelebaDecoder(
             n_hidden=self.n_hidden,
             n_z=self.n_z,
+            channels=self.decoder_channels,
             output_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,

@@ -40,10 +40,13 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
     dtype = jnp.dtype(cfg.dtype)
     generator = GeneratorCeleba(
         n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
+        channels=tuple(cfg.decoder_channels),
         output_channels=cfg.input_channels, dtype=dtype,
     )
     discriminator = DiscriminatorCeleba(
-        n_z=tuple(cfg.n_z), input_channels=cfg.input_channels, dtype=dtype,
+        n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
+        channels=tuple(cfg.disc_channels),
+        feature_dim=cfg.disc_feature_dim, dtype=dtype,
     )
     tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
 

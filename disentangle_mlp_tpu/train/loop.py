@@ -1,0 +1,289 @@
+"""Epoch-level experiment driver.
+
+The three reference training scripts (experiments/new_vae.py, new_gan.py,
+new_betavaegan.py) share one skeleton: wire config→logger→data→model→optim,
+then per epoch: train over batches → checkpoint → optional FID over 1000
+generated samples → JSON log; afterwards an optional eval sweep over
+``--load_path`` checkpoints (reconstructions / samples / FID). This module
+is that skeleton, once, for all three experiments — the per-batch math
+lives in the jitted step functions.
+
+Logged keys per experiment match the reference logs exactly
+(results/logs/*.json; SURVEY.md §5):
+  vae:        {Epoch, Avg Loss, FID}
+  gan:        {Epoch, Avg Loss G, Avg Loss E, FID}
+  betavaegan: {Epoch, Avg Eec Loss, Avg Dnc Loss, Avg Dis Loss, FID}
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import get_data_loader
+from ..eval.samples import gen_reconstructions, generate_fid_samples, generate_samples
+from ..parallel.mesh import (batch_sharding, make_mesh,
+                             maybe_initialize_distributed, replicate)
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logger import Logger
+from .gan import create_gan_experiment
+from .vae import create_vae_experiment
+from .vaegan import create_vaegan_experiment
+
+
+def _setup_parallel(cfg: Config):
+    """Data-parallel mesh over all chips (SURVEY.md §2.2's TPU-native plan):
+    params replicated, train batch sharded along axis 0. Returns
+    (mesh, train_batch_sharding) — or (None, None) when the batch doesn't
+    divide the device count (e.g. tiny smoke runs)."""
+    maybe_initialize_distributed()
+    mesh = make_mesh(cfg.mesh_shape)
+    n = mesh.devices.size
+    if n <= 1 or cfg.batch_size_train % n != 0:
+        return None, None
+    return mesh, batch_sharding(mesh)
+
+
+class Throughput:
+    """images/sec meter — the north-star perf metric (BASELINE.json)."""
+
+    def __init__(self):
+        self.images = 0
+        self.start = time.perf_counter()
+
+    def add(self, n: int):
+        self.images += n
+
+    def rate(self) -> float:
+        dt = time.perf_counter() - self.start
+        return self.images / dt if dt > 0 else 0.0
+
+
+def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str):
+    """FID over cfg.n_samples generated samples vs the precomputed stats
+    (reference: new_betavaegan.py:230-235). Returns 'N/A' when disabled or
+    when no usable Inception weights / reference stats are present."""
+    if not cfg.calc_fid:
+        return "N/A"
+    try:
+        from ..eval.fid import get_fid_from_samples
+        samples = generate_fid_samples(
+            decode_fn, epoch, cfg.n_samples, cfg.n_hidden, path,
+            rng_seed=cfg.seed + epoch)
+        return get_fid_from_samples(samples, cfg.fid_path_pretrained)
+    except Exception as e:  # missing stats/weights must not kill training
+        print(f"[fid] skipped: {e}")
+        return "N/A"
+
+
+def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
+    """Parity with experiments/new_vae.py __main__ (:78-128)."""
+    logger = logger or Logger(cfg.log_path, cfg)
+    rng = jax.random.key(cfg.seed)
+    exp = create_vae_experiment(cfg, rng)
+    mesh, train_sharding = _setup_parallel(cfg)
+    if mesh is not None:
+        exp.state = replicate(exp.state, mesh)
+    train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+
+    def decode_fn(z):
+        return exp.decode(exp.state, z)
+
+    start_epoch = 0
+    if cfg.load_path and len(cfg.load_path) < 2:
+        start_epoch, states = load_checkpoint(
+            cfg.load_path[0], {"model": exp.state})
+        exp.state = states["model"]
+
+    meter = Throughput()
+    last = {}
+    if cfg.to_train:
+        for epoch in range(start_epoch, cfg.epochs):
+            total_loss, step_rng = 0.0, jax.random.fold_in(rng, epoch)
+            for i, (x, _) in enumerate(train_loader):
+                exp.state, m = exp.train_step(
+                    exp.state, x, jax.random.fold_in(step_rng, i))
+                total_loss += float(m["loss"])
+                meter.add(x.shape[0])
+                if i % cfg.log_interval == 0:
+                    print(f"Train Epoch: {epoch} [{i}/{len(train_loader)}] "
+                          f"Loss: {float(m['loss']) / x.shape[0]:.6f}")
+            avg_loss = total_loss / train_loader.dataset_size
+            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}",
+                            epoch + 1, {"model": exp.state})
+            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
+            print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
+                  f"FID: {fid} ({meter.rate():.1f} img/s)")
+            logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
+            last = {"Avg Loss": avg_loss, "FID": fid}
+
+    _eval_sweep(cfg, exp, {"model": exp.state}, decode_fn,
+                lambda x: exp.reconstruct(exp.state, x, rng), test_loader,
+                assign=lambda s: setattr(exp, "state", s["model"]))
+    last["images_per_sec"] = meter.rate()
+    return last
+
+
+def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
+    """Parity with experiments/new_gan.py __main__ (:154-211). The logged
+    'Avg Loss E' key is preserved; unlike the reference (new_gan.py:138-139
+    overwrites the D loss with G's — a logging bug) it holds the true
+    average D loss."""
+    logger = logger or Logger(cfg.log_path, cfg)
+    rng = jax.random.key(cfg.seed)
+    exp = create_gan_experiment(cfg, rng)
+    mesh, train_sharding = _setup_parallel(cfg)
+    if mesh is not None:
+        exp.g_state = replicate(exp.g_state, mesh)
+        exp.d_state = replicate(exp.d_state, mesh)
+    train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+
+    def generate_fn(z):
+        return exp.generate(exp.g_state, z)
+
+    start_epoch = 0
+    if cfg.load_path and len(cfg.load_path) < 2:
+        start_epoch, states = load_checkpoint(
+            cfg.load_path[0], {"g": exp.g_state, "d": exp.d_state})
+        exp.g_state, exp.d_state = states["g"], states["d"]
+    elif cfg.load_path and len(cfg.load_path) > 1 and cfg.to_train:
+        raise ValueError("Cannot load more than one model for training")
+
+    meter = Throughput()
+    last = {}
+    if cfg.to_train:
+        for epoch in range(start_epoch, cfg.epochs):
+            sum_g, sum_d, step_rng = 0.0, 0.0, jax.random.fold_in(rng, epoch)
+            for i, (x, _) in enumerate(train_loader):
+                exp.g_state, exp.d_state, m = exp.train_step(
+                    exp.g_state, exp.d_state, x,
+                    jax.random.fold_in(step_rng, i))
+                sum_g += float(m["errG"])
+                sum_d += float(m["errD"])
+                meter.add(x.shape[0])
+                if i % cfg.log_interval == 0:
+                    print(f"[{epoch}/{cfg.epochs}][{i}/{len(train_loader)}] "
+                          f"Loss_D: {float(m['errD']):.4f} "
+                          f"Loss_G: {float(m['errG']):.4f} "
+                          f"D(x): {float(m['D_x']):.4f} "
+                          f"D(G(z)): {float(m['D_G_z1']):.4f}/"
+                          f"{float(m['D_G_z2']):.4f}")
+            n = train_loader.dataset_size
+            avg_g, avg_d = sum_g / n, sum_d / n
+            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                            {"g": exp.g_state, "d": exp.d_state})
+            fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
+            print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
+                  f"Average loss D: {avg_d:.4f} FID: {fid} "
+                  f"({meter.rate():.1f} img/s)")
+            logger.log({"Epoch": epoch, "Avg Loss G": avg_g,
+                        "Avg Loss E": avg_d, "FID": fid})
+            last = {"Avg Loss G": avg_g, "Avg Loss E": avg_d, "FID": fid}
+
+    _eval_sweep(cfg, exp, {"g": exp.g_state, "d": exp.d_state}, generate_fn,
+                None, test_loader,
+                assign=lambda s: (setattr(exp, "g_state", s["g"]),
+                                  setattr(exp, "d_state", s["d"])))
+    last["images_per_sec"] = meter.rate()
+    return last
+
+
+def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
+    """Parity with experiments/new_betavaegan.py __main__ (:211-267)."""
+    logger = logger or Logger(cfg.log_path, cfg)
+    rng = jax.random.key(cfg.seed)
+    exp = create_vaegan_experiment(cfg, rng)
+    mesh, train_sharding = _setup_parallel(cfg)
+    if mesh is not None:
+        exp.eg_state = replicate(exp.eg_state, mesh)
+        exp.d_state = replicate(exp.d_state, mesh)
+    train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+
+    def decode_fn(z):
+        return exp.decode(exp.eg_state, z)
+
+    def recon_fn(x):
+        return exp.reconstruct(exp.eg_state, x,
+                               jax.random.fold_in(rng, 0x7FFFFFFF))
+
+    start_epoch = 0
+    if cfg.load_path and len(cfg.load_path) < 2:
+        start_epoch, states = load_checkpoint(
+            cfg.load_path[0], {"eg": exp.eg_state, "d": exp.d_state})
+        exp.eg_state, exp.d_state = states["eg"], states["d"]
+
+    meter = Throughput()
+    last = {}
+    if cfg.to_train:
+        for epoch in range(start_epoch, cfg.epochs):
+            sums = {"enc": 0.0, "dec": 0.0, "dis": 0.0, "Dx": 0.0}
+            step_rng = jax.random.fold_in(rng, epoch)
+            for i, (x, _) in enumerate(train_loader):
+                exp.eg_state, exp.d_state, m = exp.train_step(
+                    exp.eg_state, exp.d_state, x,
+                    jax.random.fold_in(step_rng, i))
+                sums["enc"] += float(m["recon_enc"])
+                sums["dec"] += float(m["recon_dec"])
+                sums["dis"] += float(m["dis"])
+                sums["Dx"] += float(m["D_x"])
+                meter.add(x.shape[0])
+            n = train_loader.dataset_size
+            enc_l, dec_l = sums["enc"] / n, sums["dec"] / n
+            dis_l, d_x = sums["dis"] / n, sums["Dx"] / n
+            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                            {"eg": exp.eg_state, "d": exp.d_state})
+            # The reference scores per-epoch FID into fid_path_recons
+            # (new_betavaegan.py:234) — an attribute EnvSetter never set;
+            # our Config defines it (config.py).
+            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_recons)
+            print(f"====> Epoch: {epoch} Avg Encoder Loss: {enc_l:.4f} "
+                  f"Avg Decoder Loss: {dec_l:.4f} "
+                  f"Avg Discriminator Loss: {dis_l:.4f} FID: {fid} "
+                  f"Dx: {d_x:.4f} ({meter.rate():.1f} img/s)")
+            logger.log({"Epoch": epoch, "Avg Eec Loss": enc_l,
+                        "Avg Dnc Loss": dec_l, "Avg Dis Loss": dis_l,
+                        "FID": fid})
+            last = {"Avg Eec Loss": enc_l, "Avg Dis Loss": dis_l, "FID": fid}
+
+    _eval_sweep(cfg, exp, {"eg": exp.eg_state, "d": exp.d_state}, decode_fn,
+                recon_fn, test_loader,
+                assign=lambda s: (setattr(exp, "eg_state", s["eg"]),
+                                  setattr(exp, "d_state", s["d"])))
+    last["images_per_sec"] = meter.rate()
+    return last
+
+
+def _eval_sweep(cfg: Config, exp, template_states: Dict, decode_fn,
+                recon_fn, test_loader, assign: Callable) -> None:
+    """Offline checkpoint sweep (reference: new_betavaegan.py:248-267,
+    generate_samples_recons.py:36-56): for each --load_path checkpoint run
+    FID / reconstructions / samples as flags dictate."""
+    tmp_epoch = 0
+    for m in cfg.load_path:
+        epoch, states = load_checkpoint(m, template_states)
+        assign(states)
+        # de-collide repeated epochs, as the reference does (:253-254)
+        epoch = epoch if (epoch != tmp_epoch and tmp_epoch < epoch) else tmp_epoch + 1
+        tmp_epoch = epoch
+
+        if cfg.calc_fid:
+            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
+            print(f"Calculated FID: {fid}")
+        if cfg.test_recons and recon_fn is not None:
+            gen_reconstructions(
+                recon_fn, test_loader, epoch, cfg.test_results_path_recons,
+                nrow=1, path_for_originals=cfg.test_results_path_originals)
+            print("Generated reconstructions")
+        if cfg.test_samples:
+            generate_samples(decode_fn, epoch, 5, cfg.n_hidden,
+                             cfg.test_results_path_samples, nrow=1,
+                             rng_seed=cfg.seed)
+            print("Generated samples")
+
+
+RUNNERS = {"vae": run_vae, "gan": run_gan,
+           "betavaegan": run_vaegan, "vaegan": run_vaegan}

@@ -33,6 +33,9 @@ def _model_from_config(cfg: Config) -> VAE:
     return VAE(
         n_hidden=cfg.n_hidden,
         n_z=tuple(cfg.n_z),
+        representation_size=cfg.representation_size,
+        head_width=cfg.head_width,
+        decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels,
         dtype=jnp.dtype(cfg.dtype),
     )

@@ -68,10 +68,15 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
     dtype = jnp.dtype(cfg.dtype)
     vae = VAE(
         n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
+        representation_size=cfg.representation_size,
+        head_width=cfg.head_width,
+        decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels, dtype=dtype,
     )
     discriminator = DiscriminatorCeleba(
-        n_z=tuple(cfg.n_z), input_channels=cfg.input_channels, dtype=dtype,
+        n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
+        channels=tuple(cfg.disc_channels),
+        feature_dim=cfg.disc_feature_dim, dtype=dtype,
     )
     tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
     beta = float(cfg.beta)

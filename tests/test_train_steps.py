@@ -1,0 +1,108 @@
+"""Train-step behaviour tests: each jitted step runs, updates parameters,
+produces finite metrics; the VAE loss decreases on a repeated batch; the
+β-VAE-GAN freeze modes differ as documented (SURVEY.md §3.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from disentangle_mlp_tpu.config import Config
+from disentangle_mlp_tpu.train.gan import create_gan_experiment
+from disentangle_mlp_tpu.train.vae import create_vae_experiment
+from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
+
+
+def tiny_cfg(**kw):
+    """Reference graph at toy widths: img 32 (4×4 bottleneck), thin convs."""
+    return Config(name="t", n_hidden=16, batch_size_train=4,
+                  dtype="float32", lr=1e-3, img_size=32,
+                  n_z=[8, 4, 4], representation_size=4, head_width=32,
+                  decoder_channels=[8, 8, 8], disc_channels=[4, 8, 8, 8],
+                  disc_feature_dim=32, **kw)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return jax.random.uniform(
+        jax.random.key(0), (4, 32, 32, 3), jnp.float32, -1.0, 1.0)
+
+
+def _params_changed(a, b) -> bool:
+    return any(
+        not np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)))
+
+
+def test_vae_step_decreases_loss(batch):
+    cfg = tiny_cfg()
+    exp = create_vae_experiment(cfg, jax.random.key(1))
+    init_params = jax.device_get(exp.state.params)  # snapshot: step donates
+    state, losses = exp.state, []
+    for i in range(4):
+        state, m = exp.train_step(state, batch, jax.random.key(i))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    assert _params_changed(init_params, state.params)
+
+
+def test_gan_step_runs(batch):
+    cfg = tiny_cfg()
+    exp = create_gan_experiment(cfg, jax.random.key(2))
+    init_g = jax.device_get(exp.g_state.params)
+    g, d = exp.g_state, exp.d_state
+    g2, d2, m = exp.train_step(g, d, batch, jax.random.key(3))
+    for k in ["errD", "errG", "D_x", "D_G_z1", "D_G_z2"]:
+        assert np.isfinite(float(m[k])), k
+    assert 0.0 <= float(m["D_x"]) <= 1.0
+    g3, d3, _ = exp.train_step(g2, d2, batch, jax.random.key(4))
+    assert _params_changed(init_g, g3.params)
+
+
+def test_vaegan_step_runs_and_metrics(batch):
+    cfg = tiny_cfg(beta=25.0)
+    exp = create_vaegan_experiment(cfg, jax.random.key(5))
+    init_eg = jax.device_get(exp.eg_state.params)
+    init_d = jax.device_get(exp.d_state.params)
+    eg, d = exp.eg_state, exp.d_state
+    eg2, d2, m = exp.train_step(eg, d, batch, jax.random.key(6))
+    for k in ["recon_enc", "recon_dec", "dis", "D_x", "kld", "sim"]:
+        assert np.isfinite(float(m[k])), k
+    # reference wart preserved: enc and dec running losses are the same
+    # quantity (new_betavaegan.py:189-190)
+    assert float(m["recon_enc"]) == float(m["recon_dec"])
+    assert _params_changed(init_eg, eg2.params)
+    assert _params_changed(init_d, d2.params)
+
+
+def test_vaegan_freeze_intent_masks_gradients(batch):
+    """'intent' mode: phase-2 must not move encoder params and phase-3 must
+    not move decoder params. Run one step in each mode from identical init
+    and compare which subtrees moved relative to init."""
+    cfg_obs = tiny_cfg(beta=25.0, freeze_mode="observed")
+    cfg_int = tiny_cfg(beta=25.0, freeze_mode="intent")
+    exp_o = create_vaegan_experiment(cfg_obs, jax.random.key(7))
+    exp_i = create_vaegan_experiment(cfg_int, jax.random.key(7))
+
+    ego, _, _ = exp_o.train_step(exp_o.eg_state, exp_o.d_state, batch,
+                                 jax.random.key(8))
+    egi, _, _ = exp_i.train_step(exp_i.eg_state, exp_i.d_state, batch,
+                                 jax.random.key(8))
+    # both modes move both subtrees overall (enc phase moves encoder,
+    # dec phase moves decoder), but the updates must differ between modes.
+    assert _params_changed(ego.params["encoder"], egi.params["encoder"])
+    assert _params_changed(ego.params["decoder"], egi.params["decoder"])
+
+
+def test_vaegan_reproducible(batch):
+    cfg = tiny_cfg(beta=50.0)
+    exp1 = create_vaegan_experiment(cfg, jax.random.key(9))
+    exp2 = create_vaegan_experiment(cfg, jax.random.key(9))
+    _, _, m1 = exp1.train_step(exp1.eg_state, exp1.d_state, batch,
+                               jax.random.key(10))
+    _, _, m2 = exp2.train_step(exp2.eg_state, exp2.d_state, batch,
+                               jax.random.key(10))
+    assert float(m1["recon_enc"]) == float(m2["recon_enc"])
+    assert float(m1["kld"]) == float(m2["kld"])
