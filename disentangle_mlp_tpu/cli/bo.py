@@ -1,0 +1,87 @@
+"""β Bayesian-optimization CLI — the automated successor of the reference's
+manual workflow (reference: bayesian_optimization/final_bo.py).
+
+Two modes:
+- ``--posterior_only True`` (default): fit the GP on the seed observations
+  (the reference's five (β, FID) points by default, final_bo.py:33-36) and
+  write the posterior mean/±2σ band + EI over the β grid to JSON — the
+  machine-readable equivalent of the reference's plot.
+- ``--posterior_only False``: run the full FID-in-the-loop search,
+  training a β-VAE-GAN per proposed β (needs data + FID reference stats).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..bo.driver import REFERENCE_OBSERVATIONS, BetaSearch, make_training_objective
+from ..bo.gp import expected_improvement
+from ..config import Config, build_arg_parser, str2bool
+
+
+def main(argv=None) -> None:
+    parser = build_arg_parser("beta Bayesian optimization")
+    parser.add_argument("--posterior_only", type=str2bool, default=True)
+    parser.add_argument("--bo_iterations", type=int, default=3)
+    parser.add_argument("--bo_output", type=str, default="bo_posterior.json")
+    parser.add_argument("--bo_epochs", type=int, default=10,
+                        help="epochs per objective evaluation")
+    ns = parser.parse_args(argv)
+    extra = {k: vars(ns).pop(k) for k in
+             ["posterior_only", "bo_iterations", "bo_output", "bo_epochs"]}
+    cfg = Config(**{k: v for k, v in vars(ns).items()}).finalize()
+
+    if extra["posterior_only"]:
+        search = BetaSearch(objective=lambda b: 0.0).seed()
+        gp = search.fit_gp()
+        grid = search.grid
+        mean, std = gp.predict(grid)
+        ei = expected_improvement(gp, grid)
+        out = {
+            "beta": grid.tolist(),
+            "posterior_mean": mean.tolist(),
+            "band_low": (mean - 2 * std).tolist(),
+            "band_high": (mean + 2 * std).tolist(),
+            "expected_improvement": ei.tolist(),
+            "proposed_beta": search.propose(),
+            "observations": [list(o) for o in REFERENCE_OBSERVATIONS],
+        }
+        with open(extra["bo_output"], "w") as f:
+            json.dump(out, f)
+        print(f"posterior written to {extra['bo_output']}; "
+              f"EI proposes beta={out['proposed_beta']:.0f}")
+        _maybe_plot(grid, mean, std, extra["bo_output"])
+        return
+
+    from ..utils.runtime import setup
+    setup()
+    objective = make_training_objective(cfg, epochs=extra["bo_epochs"])
+    search = BetaSearch(objective=objective,
+                        log_path=f"{cfg.save_path}/bo_history.json").seed()
+    result = search.run(extra["bo_iterations"])
+    print(f"best: beta={result['best_beta']:.1f} FID={result['best_fid']:.2f}")
+
+
+def _maybe_plot(grid, mean, std, json_path: str) -> None:
+    """Optional mean ± 2σ plot like the reference's (final_bo.py:64-73)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(figsize=(13, 8))
+    ax.plot(grid, mean, "-k", linewidth=2, label="mean completion")
+    ax.fill_between(grid, mean - 2 * std, mean + 2 * std, alpha=0.4,
+                    label="credible band")
+    ax.set_xlabel("Beta")
+    ax.set_ylabel("FID")
+    ax.legend()
+    fig.savefig(json_path.replace(".json", ".png"), bbox_inches="tight")
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,9 @@ def main(argv=None) -> None:
     kwargs = {k: v for k, v in vars(ns).items() if k != "model"}
     kwargs["to_train"] = False  # sweep only
     cfg = Config(**kwargs).finalize()
+
+    from ..utils.runtime import setup
+    setup()
     RUNNERS[model](cfg)
 
 

@@ -24,7 +24,13 @@ def main(argv=None) -> None:
     model = ns.model
     kwargs = {k: v for k, v in vars(ns).items() if k != "model"}
     cfg = Config(**kwargs).finalize()
-    RUNNERS[model](cfg)
+
+    from ..utils.runtime import setup, teardown
+    setup(cfg.profile_dir)
+    try:
+        RUNNERS[model](cfg)
+    finally:
+        teardown(cfg.profile_dir)
 
 
 if __name__ == "__main__":

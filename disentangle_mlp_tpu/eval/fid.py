@@ -1,0 +1,182 @@
+"""Fréchet Inception Distance, on-device.
+
+Replaces the reference's disk-round-trip TF pipeline (reference:
+scoring/fid.py): there, training dumps 1000 sample images to disk, a second
+framework (TF1) reloads and re-decodes them, batches pool3 activations on
+whatever device TF picks, and scipy sqrtm computes the Fréchet distance
+(fid.py:109-160, 303-317). Here:
+
+- pool3 features come from the JAX InceptionV3 (inception.py), batched and
+  jitted on the TPU;
+- the in-memory fast path (``get_fid_from_samples``) scores generated
+  samples without ever touching the disk, while per-image files are still
+  written for CLI compatibility by the caller;
+- tr√(Σ₁Σ₂) is computed with a numerically stable symmetric eigendecomposition
+  (√Σ₁·Σ₂·√Σ₁ via eigh) instead of scipy's unsymmetric ``sqrtm`` — no
+  imaginary-part guard needed (compare fid.py:144-156);
+- ``.npz`` reference statistics ({mu, sigma}) are accepted exactly like the
+  reference (fid.py:287-290), as are directories of *.jpg/*.png (fid.py:292-299).
+
+File-path parity note: images saved by our dumpers were per-image min-max
+normalized (torchvision save_image(normalize=True) — utils/utils.py:26), so
+the in-memory path applies the same per-image normalization before feature
+extraction, making disk and in-memory scores identical up to uint8 rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inception import FEATURE_DIM, get_params_cached, pool3_features
+
+FID_BATCH = 100
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_features():
+    params, pretrained = get_params_cached()
+
+    @jax.jit
+    def run(images01):
+        return pool3_features(params, images01)
+
+    return run, pretrained
+
+
+def inception_is_pretrained() -> bool:
+    return _jitted_features()[1]
+
+
+def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH
+                    ) -> np.ndarray:
+    """NHWC float images in [0,1] → (N, 2048) activations, batched through
+    one fixed-shape jitted program (padding the tail batch — static shapes
+    keep XLA from recompiling per remainder)."""
+    run, _ = _jitted_features()
+    n = images01.shape[0]
+    batch_size = min(batch_size, n)
+    out = np.empty((n, FEATURE_DIM), np.float32)
+    for start in range(0, n, batch_size):
+        chunk = images01[start:start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        acts = np.asarray(run(jnp.asarray(chunk)))
+        out[start:start + batch_size - pad] = acts[:batch_size - pad]
+    return out
+
+
+def activation_statistics(acts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """μ and Σ of pool3 activations in float64 (fid.py:164-183)."""
+    acts = acts.astype(np.float64)
+    mu = acts.mean(axis=0)
+    sigma = np.cov(acts, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 0.0) -> float:
+    """d² = |μ₁−μ₂|² + Tr(Σ₁ + Σ₂ − 2√(Σ₁Σ₂)).
+
+    tr√(Σ₁Σ₂) = tr√(√Σ₁ Σ₂ √Σ₁) — symmetric PSD, so eigh is exact and
+    stable where scipy.linalg.sqrtm on the unsymmetric product can go
+    complex (the reference guards that at fid.py:151-156). Negative
+    eigenvalues from rounding are clipped, so no diagonal jitter is needed
+    (eps kept for API compatibility with fid.py:109)."""
+    mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+
+    # √Σ₁ via eigendecomposition (clip tiny negatives from rounding)
+    s1j = sigma1 if eps == 0.0 else sigma1 + eps * np.eye(sigma1.shape[0])
+    w1, v1 = np.linalg.eigh(s1j)
+    sqrt_s1 = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
+    inner = sqrt_s1 @ sigma2 @ sqrt_s1
+    w = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_covmean = float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
+
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * tr_covmean)
+
+
+def per_image_normalize(batch: np.ndarray) -> np.ndarray:
+    """Per-image min-max → [0,1], matching what ends up in the sample files
+    (torchvision save_image(normalize=True) semantics)."""
+    batch = np.asarray(batch, np.float32)
+    flat = batch.reshape(batch.shape[0], -1)
+    lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
+    hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
+    return (batch - lo) / np.maximum(hi - lo, 1e-5)
+
+
+def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with np.load(path) as f:
+        return f["mu"][:], f["sigma"][:]
+
+
+def statistics_from_dir(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Directory of *.jpg/*.png → (μ, Σ) (fid.py:292-299)."""
+    from PIL import Image
+
+    files = sorted(pathlib.Path(path).glob("*.jpg")) + \
+        sorted(pathlib.Path(path).glob("*.png"))
+    if not files:
+        raise FileNotFoundError(f"no *.jpg/*.png under {path!r}")
+    imgs = np.stack([
+        np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+        for f in files])
+    return activation_statistics(get_activations(imgs))
+
+
+def _handle_path(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    if path.endswith(".npz"):
+        return load_stats_npz(path)
+    return statistics_from_dir(path)
+
+
+def get_fid(path_data: str, path_pretrained: str) -> float:
+    """Same public signature as the reference (fid.py:320-323): FID between
+    a directory of generated images (or .npz stats) and the precomputed
+    reference statistics (or a directory of real images)."""
+    m1, s1 = _handle_path(path_data)
+    m2, s2 = _handle_path(path_pretrained)
+    return frechet_distance(m1, s1, m2, s2)
+
+
+def get_fid_from_samples(samples_pm1: np.ndarray,
+                         path_pretrained: str) -> float:
+    """TPU fast path: score decoded samples (NHWC in [-1,1]) directly
+    against reference stats — no disk round-trip."""
+    m2, s2 = _handle_path(path_pretrained)
+    imgs = per_image_normalize(samples_pm1)
+    m1, s1 = activation_statistics(get_activations(imgs))
+    return frechet_distance(m1, s1, m2, s2)
+
+
+def compute_dataset_statistics(loader, path_out: Optional[str] = None,
+                               max_images: int = 50000
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Build reference statistics from a data loader of [-1,1] batches —
+    the tool that produces fid_stats_celeba.npz-equivalents in-framework."""
+    feats = []
+    seen = 0
+    for x, _ in loader:
+        batch = (np.asarray(jax.device_get(x), np.float32) + 1.0) / 2.0
+        feats.append(get_activations(batch))
+        seen += batch.shape[0]
+        if seen >= max_images:
+            break
+    mu, sigma = activation_statistics(np.concatenate(feats)[:max_images])
+    if path_out:
+        np.savez(path_out, mu=mu, sigma=sigma)
+    return mu, sigma

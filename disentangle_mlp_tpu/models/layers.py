@@ -6,8 +6,9 @@ DCGAN init (model.py:8-13). Here each is re-expressed TPU-first:
 
 - NHWC layout end to end (the native TPU conv layout).
 - Convolutions via ``lax.conv_general_dilated`` with explicit padding that
-  reproduces PyTorch output sizes exactly, accumulating in float32 on the
-  MXU (``preferred_element_type``) while reading/writing bfloat16.
+  reproduces PyTorch output sizes exactly; under the bfloat16 policy the
+  MXU still accumulates in float32 (hardware behaviour), and loss-side
+  tensors are promoted to float32 at the module boundaries.
 - ConvTranspose expressed as an input-dilated convolution with asymmetric
   padding ``(k-1-p, k-1-p+output_padding)`` — the exact equivalent of
   PyTorch's ``output_size=`` disambiguation (model.py:558-564) with
@@ -74,19 +75,20 @@ class TorchConv(nn.Module):
         kernel = self.param(
             "kernel", dcgan_normal_init(), (k, k, in_ch, self.features)
         )
+        # No preferred_element_type upcast: its conv VJP rejects mixed
+        # bf16/f32 operands; the TPU MXU accumulates bf16 in f32 regardless.
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(s, s),
             padding=((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             bias = self.param(
                 "bias", torch_uniform_init(in_ch * k * k), (self.features,)
             )
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
 
 
@@ -126,14 +128,13 @@ class TorchConvTranspose(nn.Module):
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
             lhs_dilation=(s, s),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             # PyTorch ConvTranspose2d fan_in = out_channels * k * k.
             bias = self.param(
                 "bias", torch_uniform_init(self.features * k * k), (self.features,)
             )
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
 
 
@@ -151,14 +152,10 @@ class TorchLinear(nn.Module):
         kernel = self.param(
             "kernel", torch_uniform_init(in_f), (in_f, self.features)
         )
-        y = jnp.dot(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", torch_uniform_init(in_f), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
 
 

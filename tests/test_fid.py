@@ -1,0 +1,91 @@
+"""FID stack tests (SURVEY.md §4 strategy): self-FID ≈ 0, symmetry,
+sensitivity to distribution shift, .npz stats handling, Fréchet golden
+values on hand-computable Gaussians, and parity of the disk vs in-memory
+paths."""
+
+import numpy as np
+import pytest
+
+from disentangle_mlp_tpu.eval.fid import (
+    activation_statistics, frechet_distance, get_activations, get_fid,
+    get_fid_from_samples, per_image_normalize)
+
+rng = np.random.default_rng(0)
+
+
+def test_frechet_golden_identity():
+    """Equal Gaussians → 0; mean shift only → |Δμ|²."""
+    mu = rng.normal(size=8)
+    sigma = np.eye(8) * 2.0
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-8
+    mu2 = mu + 3.0
+    np.testing.assert_allclose(
+        frechet_distance(mu, sigma, mu2, sigma), 9.0 * 8, rtol=1e-8)
+
+
+def test_frechet_golden_variance():
+    """N(0, a²I) vs N(0, b²I) in d dims → d·(a−b)²."""
+    d = 4
+    s1 = np.eye(d) * 4.0   # a = 2
+    s2 = np.eye(d) * 9.0   # b = 3
+    got = frechet_distance(np.zeros(d), s1, np.zeros(d), s2)
+    np.testing.assert_allclose(got, d * (2.0 - 3.0) ** 2, rtol=1e-8)
+
+
+def test_frechet_matches_scipy_sqrtm():
+    from scipy import linalg
+    a = rng.normal(size=(16, 8))
+    b = rng.normal(size=(24, 8))
+    m1, s1 = a.mean(0), np.cov(a, rowvar=False)
+    m2, s2 = b.mean(0), np.cov(b, rowvar=False)
+    covmean = linalg.sqrtm(s1.dot(s2))
+    ref = ((m1 - m2) @ (m1 - m2) + np.trace(s1) + np.trace(s2)
+           - 2 * np.trace(covmean.real))
+    got = frechet_distance(m1, s1, m2, s2)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def fake_images():
+    return rng.uniform(0, 1, size=(16, 64, 64, 3)).astype(np.float32)
+
+
+def test_activations_shape_and_determinism(fake_images):
+    a1 = get_activations(fake_images, batch_size=8)
+    a2 = get_activations(fake_images, batch_size=16)
+    assert a1.shape == (16, 2048)
+    # batching (incl. padding path) must not change values
+    np.testing.assert_allclose(a1, a2, atol=2e-2)
+
+
+def test_self_fid_near_zero(fake_images):
+    mu, sigma = activation_statistics(get_activations(fake_images))
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_fid_detects_distribution_shift(fake_images):
+    dark = (fake_images * 0.2).astype(np.float32)
+    mu1, s1 = activation_statistics(get_activations(fake_images))
+    mu2, s2 = activation_statistics(get_activations(dark))
+    same = frechet_distance(mu1, s1, mu1, s1)
+    diff = frechet_distance(mu1, s1, mu2, s2)
+    assert diff > same + 1.0
+
+
+def test_get_fid_npz_and_dir(tmp_path, fake_images):
+    from disentangle_mlp_tpu.utils.image_io import save_image
+    d = tmp_path / "samples"
+    d.mkdir()
+    pm1 = fake_images * 2.0 - 1.0
+    for i in range(fake_images.shape[0]):
+        save_image(pm1[i], str(d / f"sample_{i}_0.png"), normalize=True)
+
+    mu, sigma = activation_statistics(
+        get_activations(per_image_normalize(pm1)))
+    np.savez(tmp_path / "stats.npz", mu=mu, sigma=sigma)
+
+    # disk path vs in-memory fast path agree (up to uint8 rounding)
+    fid_disk = get_fid(str(d), str(tmp_path / "stats.npz"))
+    fid_mem = get_fid_from_samples(pm1, str(tmp_path / "stats.npz"))
+    assert fid_mem < 0.5
+    assert abs(fid_disk - fid_mem) < 0.5
