@@ -1,0 +1,95 @@
+"""Headline benchmark: β-VAE-GAN training images/sec/chip on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+- metric: steady-state throughput of the full-size flagship 3-phase
+  β-VAE-GAN train step (batch 256, bfloat16 compute — the reference's
+  published configuration: CelebA 64×64, batch 256, SURVEY.md §6).
+- vs_baseline: speedup over a PyTorch-CPU implementation of the identical
+  per-batch work (BENCH_BASELINE.json, produced once by
+  benchmarks/torch_baseline.py; re-measured here if the cache is missing).
+
+Warmup steps are excluded (compilation over the tunneled TPU costs
+minutes; the persistent compilation cache makes reruns fast).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+BATCH = 256
+TIMED_STEPS = 10
+
+
+def tpu_images_per_sec() -> float:
+    from disentangle_mlp_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from disentangle_mlp_tpu.config import Config
+    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
+
+    cfg = Config(name="bench", beta=25.0, batch_size_train=BATCH,
+                 dtype="bfloat16", lr=3e-4)
+    exp = create_vaegan_experiment(cfg, jax.random.key(0))
+    x = jax.random.uniform(jax.random.key(1), (BATCH, 64, 64, 3),
+                           jnp.float32, -1.0, 1.0)
+
+    # distinct batches so the run resembles real training, not one batch
+    # overfit to divergence
+    xs = [jax.random.uniform(jax.random.key(100 + i), (BATCH, 64, 64, 3),
+                             jnp.float32, -1.0, 1.0) for i in range(8)]
+
+    eg, d = exp.eg_state, exp.d_state
+    # warmup / compile. NOTE: on the axon platform block_until_ready() can
+    # return before execution finishes — a scalar value fetch is the only
+    # reliable barrier, so we sync by reading a metric.
+    for i in range(2):
+        eg, d, m = exp.train_step(eg, d, xs[i], jax.random.key(10 + i))
+    float(m["recon_enc"])
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_STEPS):
+        eg, d, m = exp.train_step(eg, d, xs[i % len(xs)],
+                                  jax.random.key(100 + i))
+    value = float(m["recon_enc"])
+    dt = time.perf_counter() - t0
+    assert value == value, "training metric went NaN during bench"
+    return BATCH * TIMED_STEPS / dt
+
+
+def baseline_images_per_sec() -> float:
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return float(json.load(f)["torch_cpu_images_per_sec"])
+    from benchmarks.torch_baseline import measure
+    rate = measure(batch_size=64, steps=3)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_images_per_sec": rate,
+                   "note": "3-phase beta-VAE-GAN step, batch 64, torch CPU"},
+                  f, indent=2)
+    return rate
+
+
+def main() -> None:
+    value = tpu_images_per_sec()
+    base = baseline_images_per_sec()
+    print(json.dumps({
+        "metric": "beta-VAE-GAN train throughput (batch 256, bf16, 1 chip)",
+        "value": round(value, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
