@@ -50,7 +50,11 @@ class DiscriminatorCeleba(nn.Module):
         self.lth_features = TorchLinear(self.feature_dim, dtype=dt)
         self.sigmoid_output = TorchLinear(1, dtype=dt)
 
-    def __call__(self, x: jax.Array, train: bool = True) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = True,
+                 return_logits: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """(probability, Dis_l features) like the reference (model.py:410-416).
+        With ``return_logits=True`` the first output is the pre-sigmoid
+        logit — the numerically safe input for bce_logits in train steps."""
         ura = not train
         lrelu = lambda h: nn.leaky_relu(h, negative_slope=0.2)
         h = lrelu(self.bn1(self.conv1(x), ura))
@@ -58,6 +62,8 @@ class DiscriminatorCeleba(nn.Module):
         h = lrelu(self.bn3(self.conv3(h), ura))
         h = lrelu(self.bn4(self.conv4(h), ura))
         features = lrelu(self.lth_features(flatten_batch(h))).astype(jnp.float32)
-        logit = self.sigmoid_output(features).astype(jnp.float32)
-        prob = jax.nn.sigmoid(jnp.squeeze(logit, axis=-1))
-        return prob, features
+        logit = jnp.squeeze(self.sigmoid_output(features).astype(jnp.float32),
+                            axis=-1)
+        if return_logits:
+            return logit, features
+        return jax.nn.sigmoid(logit), features

@@ -27,12 +27,31 @@ _LOG_CLAMP = -100.0
 
 
 def bce(probs: jax.Array, targets: jax.Array) -> jax.Array:
-    """Binary cross entropy on probabilities, mean reduction (torch BCELoss)."""
-    probs = probs.astype(jnp.float32)
+    """Binary cross entropy on probabilities, mean reduction (torch BCELoss).
+
+    Probabilities are clipped before the log so the VJP stays finite at
+    p ∈ {0, 1} (clamping log *values* alone leaves a 0·inf = NaN gradient).
+    Prefer :func:`bce_logits` inside training steps."""
+    probs = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
     targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), probs.shape)
     log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
     log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
     return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+
+
+def bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Binary cross entropy on raw logits, mean reduction.
+
+    Equals bce(sigmoid(logits), t) with the numerically exact formulation
+    max(l,0) − l·t + log(1+e^{−|l|}); its gradient σ(l) − t is bounded, so a
+    saturated discriminator cannot produce inf/NaN gradients — the failure
+    mode of prob-space BCE that the reference never hits only because torch
+    BCELoss clamps its backward internally. Used by the GAN/VAE-GAN steps
+    (loss combinations unchanged — new_betavaegan.py:101,118,153-154)."""
+    logits = logits.astype(jnp.float32)
+    targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), logits.shape)
+    return jnp.mean(jnp.maximum(logits, 0.0) - logits * targets
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
 def kld(mu: jax.Array, logvar: jax.Array) -> jax.Array:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..models.gan import DiscriminatorCeleba, GeneratorCeleba
-from ..ops.losses import bce
+from ..ops.losses import bce_logits
 from .common import ModelState, apply_updates, init_model_state, make_adam, sample_labels
 
 
@@ -59,9 +59,10 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
     d_state = init_model_state(discriminator, rng_d, x_sample, tx_d, train=True)
 
     def d_apply(params, stats, x):
+        # logits out: bounded BCE gradients even when D saturates
         return discriminator.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
-            mutable=["batch_stats"],
+            return_logits=True, mutable=["batch_stats"],
         )
 
     def g_apply(params, stats, z):
@@ -83,14 +84,14 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
-            (p_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
-            (p_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
-            err_real = bce(p_real, labels["real"])
-            err_fake = bce(p_fake, labels["fake"])
+            (l_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
+            (l_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
+            err_real = bce_logits(l_real, labels["real"])
+            err_fake = bce_logits(l_fake, labels["fake"])
             aux = {
                 "errD": err_real + err_fake,
-                "D_x": jnp.mean(p_real),
-                "D_G_z1": jnp.mean(p_fake),
+                "D_x": jnp.mean(jax.nn.sigmoid(l_real)),
+                "D_G_z1": jnp.mean(jax.nn.sigmoid(l_fake)),
                 "stats": mut2["batch_stats"],
             }
             return err_real + err_fake, aux
@@ -103,12 +104,12 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
         # --- (2) Update G: maximize log D(G(z)) with the updated D -------
         def g_loss_fn(g_params):
             fake_g, mut = g_apply(g_params, g_state.batch_stats, noise)
-            (p_fake, _), d_mut = d_apply(
+            (l_fake, _), d_mut = d_apply(
                 d_state.params, d_state.batch_stats, fake_g)
-            err_g = bce(p_fake, labels["real"])
+            err_g = bce_logits(l_fake, labels["real"])
             return err_g, {
                 "errG": err_g,
-                "D_G_z2": jnp.mean(p_fake),
+                "D_G_z2": jnp.mean(jax.nn.sigmoid(l_fake)),
                 "g_stats": mut["batch_stats"],
                 "d_stats": d_mut["batch_stats"],
             }

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models.gan import DiscriminatorCeleba
 from ..models.vae import VAE
-from ..ops.losses import bce, kld, reconstruction_loss, sim_loss
+from ..ops.losses import bce_logits, kld, reconstruction_loss, sim_loss
 from .common import (ModelState, apply_updates, init_model_state, make_adam,
                      mask_grads_by_submodule, sample_labels)
 
@@ -90,9 +90,10 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
     d_state = init_model_state(discriminator, rng_d, x_sample, tx_d, train=True)
 
     def d_apply(params, stats, x):
+        # logits out: bounded BCE gradients even when D saturates
         return discriminator.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
-            mutable=["batch_stats"],
+            return_logits=True, mutable=["batch_stats"],
         )
 
     def eg_forward(params, stats, x, eps_rng):
@@ -121,10 +122,12 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         eg_state = eg_state.replace(batch_stats=eg_mut["batch_stats"])
 
         def d_loss_fn(d_params):
-            (p_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
-            (p_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
-            loss = bce(p_real, labels["real"]) + bce(p_fake, labels["fake"])
-            return loss, {"D_x": jnp.mean(p_real), "stats": mut2["batch_stats"]}
+            (l_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
+            (l_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
+            loss = (bce_logits(l_real, labels["real"])
+                    + bce_logits(l_fake, labels["fake"]))
+            return loss, {"D_x": jnp.mean(jax.nn.sigmoid(l_real)),
+                          "stats": mut2["batch_stats"]}
 
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             d_state.params)
@@ -143,12 +146,12 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
             fake_g, _ = eg_decode(eg_params, eg_state.batch_stats, noise)
             (recon, mu, logvar), mut = eg_forward(
                 eg_params, eg_state.batch_stats, batch, rng_eps_dec)
-            (p_fake, _), d_mut1 = d_apply(
+            (l_fake, _), d_mut1 = d_apply(
                 d_state.params, d_state.batch_stats, fake_g)
-            (p_recon, sim_recon), d_mut2 = d_apply(
+            (l_recon, sim_recon), d_mut2 = d_apply(
                 d_state.params, d_mut1["batch_stats"], recon)
-            err_g_fake = bce(p_fake, labels["real"])
-            err_g_recon = bce(p_recon, labels["real"])
+            err_g_fake = bce_logits(l_fake, labels["real"])
+            err_g_recon = bce_logits(l_recon, labels["real"])
             s_loss = sim_loss(sim_recon, sim_real)
             r_loss = reconstruction_loss(recon, batch)
             loss = err_g_fake + err_g_recon + s_loss + r_loss

@@ -1,13 +1,14 @@
 """Golden-value loss tests vs torch (the reference's loss definitions:
 new_betavaegan.py:64-75, new_vae.py:39-48)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
 import torch.nn.functional as F
 
 from disentangle_mlp_tpu.ops.losses import (
-    bce, kld, reconstruction_loss, sim_loss, vae_loss)
+    bce, bce_logits, kld, reconstruction_loss, sim_loss, vae_loss)
 
 rng = np.random.default_rng(0)
 
@@ -21,14 +22,27 @@ def test_bce_matches_torch():
         assert abs(ours - theirs) < 1e-5
 
 
-def test_bce_extreme_probs_finite():
+def test_bce_extreme_probs_finite_value_and_grad():
     p = jnp.asarray([0.0, 1.0, 0.5])
     assert np.isfinite(float(bce(p, 0.9)))
-    # torch clamps log at -100; check our clamp matches at p=0, target=1
-    ours = float(bce(jnp.asarray([0.0]), 1.0))
-    theirs = float(F.binary_cross_entropy(
-        torch.tensor([0.0]), torch.tensor([1.0])))
-    assert abs(ours - theirs) < 1e-4
+    # the gradient must be finite at saturated probabilities too (clamping
+    # only the log value leaves a 0·inf NaN in the VJP)
+    g = jax.grad(lambda q: bce(q, 0.9))(p)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_bce_logits_matches_torch():
+    logits = rng.normal(size=(64,)).astype(np.float32) * 5.0
+    for target in (0.1, 0.9):
+        ours = float(bce_logits(jnp.asarray(logits), target))
+        theirs = float(F.binary_cross_entropy_with_logits(
+            torch.from_numpy(logits), torch.full((64,), target)))
+        assert abs(ours - theirs) < 1e-5
+    # bounded gradient even at extreme logits
+    big = jnp.asarray([-1e4, 1e4])
+    g = jax.grad(lambda l: bce_logits(l, 0.9))(big)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.abs(np.asarray(g)) <= 1.0)
 
 
 def test_kld_matches_torch():
