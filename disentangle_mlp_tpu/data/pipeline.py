@@ -46,6 +46,15 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def _decode(path: str) -> np.ndarray:
+    """Decode one image file → HWC uint8 at native resolution (the native
+    C++ path does the fused resize+normalize afterwards)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def normalize_to_unit_range(batch_u8: np.ndarray) -> np.ndarray:
     """uint8 HWC → float32 in [-1, 1] (Normalize(mean .5, std .5) after
     ToTensor, reference dataset.py:12,38-43)."""
@@ -72,6 +81,8 @@ class ImageFolderSource:
         if not self.samples:
             raise FileNotFoundError(f"no images under {root!r}")
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        from . import native
+        self._native = native if native.available() else None
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -79,6 +90,24 @@ class ImageFolderSource:
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         paths = [self.samples[i][0] for i in indices]
         labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
+        if (self._native is not None and self._native.has_jpeg()
+                and all(p.lower().endswith((".jpg", ".jpeg"))
+                        for p in paths)):
+            # Fully native path: file read + libjpeg decode + antialiased
+            # resize + normalize in C++ threads, no GIL in the hot loop.
+            batch, ok = self._native.load_jpeg_batch(
+                paths, self.img_size, num_threads=self.num_workers)
+            if not ok.all():  # corrupt files: per-image PIL fallback
+                for j in np.nonzero(~ok)[0]:
+                    batch[j] = normalize_to_unit_range(
+                        _decode_resize(paths[j], self.img_size))
+            return batch, labels
+        if self._native is not None:
+            # PIL decode (GIL-releasing) in threads; fused C++ bilinear
+            # resize + [-1,1] normalize + batch assembly.
+            raw = list(self._pool.map(_decode, paths))
+            return self._native.resize_normalize_batch(
+                raw, self.img_size, num_threads=self.num_workers), labels
         imgs = list(self._pool.map(
             lambda p: _decode_resize(p, self.img_size), paths))
         return normalize_to_unit_range(np.stack(imgs)), labels
