@@ -1,0 +1,75 @@
+"""Checkpoint roundtrip: params + BN stats + Adam moments + epoch survive
+serialization exactly (reference contract: new_betavaegan.py:203-209,
+222-228)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from disentangle_mlp_tpu.config import Config
+from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
+from disentangle_mlp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def tiny_cfg():
+    return Config(name="t", n_hidden=8, batch_size_train=4, dtype="float32",
+                  img_size=32, n_z=[8, 4, 4], representation_size=4,
+                  head_width=32, decoder_channels=[8, 8, 8],
+                  disc_channels=[4, 8, 8, 8], disc_feature_dim=32)
+
+
+def test_roundtrip_exact(tmp_path):
+    cfg = tiny_cfg()
+    exp = create_vaegan_experiment(cfg, jax.random.key(0))
+    batch = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3),
+                               jnp.float32, -1.0, 1.0)
+    eg, d, _ = exp.train_step(exp.eg_state, exp.d_state, batch,
+                              jax.random.key(2))
+
+    path = str(tmp_path / "model_1")
+    save_checkpoint(path, 1, {"eg": eg, "d": d})
+
+    exp2 = create_vaegan_experiment(tiny_cfg(), jax.random.key(99))
+    epoch, states = load_checkpoint(
+        path, {"eg": exp2.eg_state, "d": exp2.d_state})
+    assert epoch == 1
+
+    for orig, loaded in [(eg, states["eg"]), (d, states["d"])]:
+        for a, b in zip(jax.tree_util.tree_leaves(orig),
+                        jax.tree_util.tree_leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state continues training bit-identically
+    eg_a, d_a, m_a = exp.train_step(eg, d, batch, jax.random.key(3))
+    eg_b, d_b, m_b = exp2.train_step(states["eg"], states["d"], batch,
+                                     jax.random.key(3))
+    assert float(m_a["recon_enc"]) == float(m_b["recon_enc"])
+
+
+def test_bn_eval_mode_uses_running_stats():
+    """use_running_average path: eval outputs must differ from train-mode
+    (batch-stat) outputs and be deterministic w.r.t. the batch."""
+    from disentangle_mlp_tpu.models.vae import VAE
+
+    vae = VAE(n_hidden=8, n_z=(8, 4, 4), representation_size=4,
+              head_width=32, decoder_channels=(8, 8, 8))
+    x = jax.random.normal(jax.random.key(4), (8, 32, 32, 3))
+    variables = vae.init(
+        {"params": jax.random.key(5), "reparam": jax.random.key(6)}, x)
+
+    # accumulate some running stats with a train-mode forward
+    _, mut = vae.apply(variables, x, train=True,
+                       rngs={"reparam": jax.random.key(7)},
+                       mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": mut["batch_stats"]}
+
+    (mu_eval1, _) = vae.apply(variables, x[:4], train=False,
+                              method=VAE.encode)
+    (mu_eval2, _) = vae.apply(variables, x[:4], train=False,
+                              method=VAE.encode)
+    (mu_train, _), _ = vae.apply(variables, x[:4], train=True,
+                                 method=VAE.encode,
+                                 mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(mu_eval1), np.asarray(mu_eval2))
+    assert not np.allclose(np.asarray(mu_eval1), np.asarray(mu_train))
