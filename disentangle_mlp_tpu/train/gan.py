@@ -33,6 +33,7 @@ class GANExperiment:
     g_state: ModelState
     d_state: ModelState
     train_step: Callable
+    step_fn: Callable  # pure, un-jitted — for lax.scan multi-step drivers
     generate: Callable[[ModelState, jax.Array], jax.Array]
 
 
@@ -139,5 +140,6 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
         g_state=g_state,
         d_state=d_state,
         train_step=jax.jit(train_step, donate_argnums=(0, 1)),
+        step_fn=train_step,
         generate=jax.jit(generate),
     )

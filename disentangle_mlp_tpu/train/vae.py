@@ -25,6 +25,7 @@ class VAEExperiment:
     state: ModelState
     train_step: Callable[[ModelState, jax.Array, jax.Array],
                          Tuple[ModelState, Dict[str, jax.Array]]]
+    step_fn: Callable  # pure, un-jitted — for lax.scan multi-step drivers
     decode: Callable[[ModelState, jax.Array], jax.Array]
     reconstruct: Callable[[ModelState, jax.Array, jax.Array], jax.Array]
 
@@ -83,6 +84,7 @@ def create_vae_experiment(cfg: Config, rng: jax.Array) -> VAEExperiment:
         model=model,
         state=state,
         train_step=jax.jit(train_step, donate_argnums=0),
+        step_fn=lambda state, batch, rng: train_step(state, batch, rng),
         decode=jax.jit(decode),
         reconstruct=jax.jit(reconstruct),
     )

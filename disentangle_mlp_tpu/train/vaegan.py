@@ -60,6 +60,7 @@ class VAEGANExperiment:
     eg_state: ModelState
     d_state: ModelState
     train_step: Callable
+    step_fn: Callable  # pure, un-jitted — for lax.scan multi-step drivers
     decode: Callable[[ModelState, jax.Array], jax.Array]
     reconstruct: Callable[[ModelState, jax.Array, jax.Array], jax.Array]
 
@@ -212,6 +213,7 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         eg_state=eg_state,
         d_state=d_state,
         train_step=jax.jit(train_step, donate_argnums=(0, 1)),
+        step_fn=train_step,
         decode=jax.jit(decode),
         reconstruct=jax.jit(reconstruct),
     )
