@@ -44,24 +44,26 @@ def tpu_images_per_sec() -> float:
     x = jax.random.uniform(jax.random.key(1), (BATCH, 64, 64, 3),
                            jnp.float32, -1.0, 1.0)
 
-    # distinct batches so the run resembles real training, not one batch
-    # overfit to divergence
-    xs = [jax.random.uniform(jax.random.key(100 + i), (BATCH, 64, 64, 3),
-                             jnp.float32, -1.0, 1.0) for i in range(8)]
+    from disentangle_mlp_tpu.train.scan import make_multi_step
+
+    # distinct device-resident batches; the scan driver runs TIMED_STEPS
+    # steps in ONE dispatch (host RPC latency over the TPU tunnel would
+    # otherwise pollute the measurement)
+    batches = jax.random.uniform(
+        jax.random.key(100), (TIMED_STEPS, BATCH, 64, 64, 3),
+        jnp.float32, -1.0, 1.0)
+    multi = make_multi_step(exp.step_fn, n_states=2, donate=False)
 
     eg, d = exp.eg_state, exp.d_state
     # warmup / compile. NOTE: on the axon platform block_until_ready() can
     # return before execution finishes — a scalar value fetch is the only
     # reliable barrier, so we sync by reading a metric.
-    for i in range(2):
-        eg, d, m = exp.train_step(eg, d, xs[i], jax.random.key(10 + i))
-    float(m["recon_enc"])
+    eg, d, m = multi(eg, d, batches, jax.random.key(0))
+    float(m["recon_enc"][-1])
 
     t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        eg, d, m = exp.train_step(eg, d, xs[i % len(xs)],
-                                  jax.random.key(100 + i))
-    value = float(m["recon_enc"])
+    eg, d, m = multi(eg, d, batches, jax.random.key(1))
+    value = float(m["recon_enc"][-1])
     dt = time.perf_counter() - t0
     assert value == value, "training metric went NaN during bench"
     return BATCH * TIMED_STEPS / dt

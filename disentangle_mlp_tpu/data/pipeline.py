@@ -238,8 +238,10 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
         else:
             src = ImageFolderSource(root, img_size=opt.img_size,
                                     num_workers=opt.num_workers)
+        # the batch sharding belongs to the TRAIN stream only (val/test
+        # batch sizes need not divide the device count)
         return DataLoader(src, batch, shuffle=shuffle, seed=opt.seed,
-                          sharding=sharding)
+                          sharding=sharding if shuffle else None)
 
     if opt.dataset in ("celebA", "celebA_reduced", "birds", "mnist"):
         train = make(opt.image_root_train, opt.batch_size_train, True, 0)

@@ -1,0 +1,54 @@
+"""Pallas image kernels.
+
+``per_image_normalize_pallas``: per-image min-max rescale to [0, 1] — the
+preprocessing the FID fast path applies to decoded samples so in-memory
+scores match the per-image-normalized files the dumpers write
+(torchvision save_image(normalize=True) semantics; see eval/fid.py).
+One grid program per image: the image lives in VMEM for the whole
+reduce + rescale, one HBM read and one write instead of the
+reduce-then-broadcast round trips of the unfused lowering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _normalize_kernel(x_ref, o_ref):
+    img = x_ref[:].astype(jnp.float32)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    scale = 1.0 / jnp.maximum(hi - lo, 1e-5)
+    o_ref[:] = (img - lo) * scale
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def per_image_normalize_pallas(batch: jax.Array,
+                               interpret: bool = False) -> jax.Array:
+    """NHWC float batch → per-image min-max normalized to [0, 1]."""
+    n, h, w, c = batch.shape
+    flat = batch.reshape(n, h * w * c)
+    # pad the feature axis to a lane multiple for clean tiling
+    pad = (-flat.shape[1]) % 128
+    if pad:
+        # pad with the first pixel value so min/max are unaffected
+        fill = jnp.broadcast_to(flat[:, :1], (n, pad))
+        flat = jnp.concatenate([flat, fill], axis=1)
+    f = flat.shape[1]
+
+    out = pl.pallas_call(
+        _normalize_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        interpret=interpret,
+    )(flat)
+    return out[:, :h * w * c].reshape(n, h, w, c)
