@@ -7,6 +7,11 @@ scores match the per-image-normalized files the dumpers write
 One grid program per image: the image lives in VMEM for the whole
 reduce + rescale, one HBM read and one write instead of the
 reduce-then-broadcast round trips of the unfused lowering.
+
+MEASURED (v5e via axon, 2026-08-16, 1000×64×64×3): 43.8 ms vs 3.3 ms for
+the jitted jnp formulation — XLA pipelines the fused reduce+rescale better
+than this one-image-per-program grid. Kept as a tested Pallas example;
+production FID prep uses the XLA path.
 """
 
 from __future__ import annotations
@@ -40,15 +45,18 @@ def per_image_normalize_pallas(batch: jax.Array,
         fill = jnp.broadcast_to(flat[:, :1], (n, pad))
         flat = jnp.concatenate([flat, fill], axis=1)
     f = flat.shape[1]
+    # (n, f//128, 128): trailing block dims equal the array dims, which the
+    # Mosaic lowering accepts for any leading block size
+    tiled = flat.reshape(n, f // 128, 128)
 
     out = pl.pallas_call(
         _normalize_kernel,
         grid=(n,),
-        in_specs=[pl.BlockSpec((1, f), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((1, f // 128, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, f), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, f // 128, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, f // 128, 128), jnp.float32),
         interpret=interpret,
-    )(flat)
-    return out[:, :h * w * c].reshape(n, h, w, c)
+    )(tiled)
+    return out.reshape(n, f)[:, :h * w * c].reshape(n, h, w, c)

@@ -12,6 +12,12 @@ zeroed at k==0 and the epilogue fires at the last K tile — the canonical
 Pallas accumulation pattern. Shapes are padded to tile multiples by the
 wrapper. Opt-in (Config.use_pallas): XLA's own fusion is strong for these
 shapes, so the kernel must win on-silicon before becoming the default.
+
+MEASURED (v5e via axon, 2026-08-16, M=256 K=16384 N=2048 bf16): this kernel
+1474 ms/call vs XLA dot+epilogue 2.2 ms — the XLA lowering wins decisively
+at these skinny-M shapes (the layer is weight-load-bound, and the
+3-level grid serializes). Kept as an EXPERIMENTAL opt-in and a base for
+future shapes where a hand pipeline can win; do not enable by default.
 """
 
 from __future__ import annotations
