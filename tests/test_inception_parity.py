@@ -1,0 +1,235 @@
+"""InceptionV3 architectural parity vs an independent PyTorch build.
+
+torchvision is absent in this image, so the FID-patched InceptionV3 (the
+network whose weights the reference's scoring/inception.py loads) is built
+here in plain torch.nn with torchvision-compatible module names and
+randomized weights; our BN-folding converter then loads its state dict and
+the two implementations' pool3 features are compared. This pins the
+NCHW→NHWC translation, the padding arithmetic, BN folding, and the FID
+pooling patches (count-exclude avg pools; max pool in Mixed_7c). Key-name
+or shape drift from the real pt_inception checkpoint layout would fail the
+load itself.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from disentangle_mlp_tpu.eval.inception import pool3_features
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avg3(x):
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+class InceptionA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_avg3(x)),
+        ], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, stride=2),
+        ], 1)
+
+
+class InceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = x
+        for m in [self.branch7x7dbl_1, self.branch7x7dbl_2,
+                  self.branch7x7dbl_3, self.branch7x7dbl_4,
+                  self.branch7x7dbl_5]:
+            bd = m(bd)
+        return torch.cat([self.branch1x1(x), b7, bd,
+                          self.branch_pool(_avg3(x))], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b7 = x
+        for m in [self.branch7x7x3_1, self.branch7x7x3_2,
+                  self.branch7x7x3_3, self.branch7x7x3_4]:
+            b7 = m(b7)
+        return torch.cat([self.branch3x3_2(self.branch3x3_1(x)), b7,
+                          F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class InceptionE(nn.Module):
+    def __init__(self, cin, use_max_pool):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+        self._use_max_pool = use_max_pool
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        pool = (F.max_pool2d(x, 3, stride=1, padding=1) if self._use_max_pool
+                else _avg3(x))
+        return torch.cat([self.branch1x1(x), b3, bd,
+                          self.branch_pool(pool)], 1)
+
+
+class TorchFIDInception(nn.Module):
+    """Plain-torch build matching the pt_inception checkpoint layout
+    (module names identical to torchvision's Inception3 feature path)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = InceptionA(192, 32)
+        self.Mixed_5c = InceptionA(256, 64)
+        self.Mixed_5d = InceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = InceptionC(768, 128)
+        self.Mixed_6c = InceptionC(768, 160)
+        self.Mixed_6d = InceptionC(768, 160)
+        self.Mixed_6e = InceptionC(768, 192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = InceptionE(1280, use_max_pool=False)
+        self.Mixed_7c = InceptionE(2048, use_max_pool=True)
+
+    def forward(self, x):
+        h = self.Conv2d_1a_3x3(x)
+        h = self.Conv2d_2a_3x3(h)
+        h = self.Conv2d_2b_3x3(h)
+        h = F.max_pool2d(h, 3, stride=2)
+        h = self.Conv2d_3b_1x1(h)
+        h = self.Conv2d_4a_3x3(h)
+        h = F.max_pool2d(h, 3, stride=2)
+        for name in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
+                     "Mixed_7a", "Mixed_7b", "Mixed_7c"]:
+            h = getattr(self, name)(h)
+        return F.adaptive_avg_pool2d(h, (1, 1)).flatten(1)
+
+
+@pytest.fixture(scope="module")
+def torch_net():
+    torch.manual_seed(0)
+    net = TorchFIDInception()
+    g = torch.Generator().manual_seed(1)
+    sd = net.state_dict()
+    for k, v in sd.items():
+        if k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        elif k.endswith("running_mean"):
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+        elif k.endswith("num_batches_tracked"):
+            continue
+        elif ".bn.weight" in k:
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        elif v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+    net.load_state_dict(sd)
+    net.eval()
+    return net
+
+
+def test_state_dict_keys_cover_spec(torch_net):
+    """Our converter's expected key layout == the checkpoint layout."""
+    from disentangle_mlp_tpu.eval.inception import INCEPTION_SPEC
+
+    sd_keys = set(torch_net.state_dict().keys())
+    for name, spec in INCEPTION_SPEC.items():
+        branches = spec.keys() if isinstance(spec, dict) else [None]
+        for b in branches:
+            prefix = f"{name}.{b}" if b else name
+            for suffix in ["conv.weight", "bn.weight", "bn.bias",
+                           "bn.running_mean", "bn.running_var"]:
+                assert f"{prefix}.{suffix}" in sd_keys, f"{prefix}.{suffix}"
+
+
+def test_pool3_matches_torch(torch_net, tmp_path):
+    from disentangle_mlp_tpu.eval.inception import load_torch_fid_weights
+
+    ckpt = tmp_path / "fid_inception.pth"
+    torch.save(torch_net.state_dict(), ckpt)
+    params = load_torch_fid_weights(str(ckpt))
+
+    rng = np.random.default_rng(2)
+    imgs01 = rng.uniform(0, 1, size=(2, 299, 299, 3)).astype(np.float32)
+
+    ours = np.asarray(pool3_features(params, jnp.asarray(imgs01),
+                                     dtype=jnp.float32))
+    with torch.no_grad():
+        x_t = torch.from_numpy(imgs01).permute(0, 3, 1, 2) * 2.0 - 1.0
+        theirs = torch_net(x_t).numpy()
+
+    assert ours.shape == theirs.shape == (2, 2048)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
