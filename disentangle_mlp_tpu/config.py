@@ -102,6 +102,10 @@ class Config:
     synthetic_train_size: int = 4096
     # If set, jax.profiler traces are written here.
     profile_dir: str = ""
+    # Route big dense layers through the experimental Pallas fused matmul
+    # (ops/pallas/matmul_fused.py). Measured slower than XLA on v5e for the
+    # reference shapes — off by default; see the kernel docstring.
+    use_pallas: bool = False
 
     # --- derived output paths (filled by finalize()) ---------------------
     model_path: str = ""
@@ -218,6 +222,7 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", type=str2bool, default=d.synthetic_data)
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
+    p.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     return p
 
 

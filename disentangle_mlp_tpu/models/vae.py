@@ -47,18 +47,20 @@ class CelebaEncoder(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    use_pallas: bool = False
 
     def setup(self):
         rs, dt = self.representation_size, self.dtype
         conv = lambda ch: TorchConv(ch, 5, stride=2, padding=2, dtype=dt)
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
+        lin = lambda f: TorchLinear(f, dtype=dt, use_pallas=self.use_pallas)
         self.conv1, self.bn1 = conv(rs), bn()
         self.conv2, self.bn2 = conv(rs * 2), bn()
         self.conv3, self.bn3 = conv(rs * 4), bn()
-        self.mu_fc1, self.mu_bn = TorchLinear(self.head_width, dtype=dt), bn()
-        self.mu_fc2 = TorchLinear(self.n_hidden, dtype=dt)
-        self.lv_fc1, self.lv_bn = TorchLinear(self.head_width, dtype=dt), bn()
-        self.lv_fc2 = TorchLinear(self.n_hidden, dtype=dt)
+        self.mu_fc1, self.mu_bn = lin(self.head_width), bn()
+        self.mu_fc2 = lin(self.n_hidden)
+        self.lv_fc1, self.lv_bn = lin(self.head_width), bn()
+        self.lv_fc2 = lin(self.n_hidden)
 
     def __call__(self, x: jax.Array, train: bool = True) -> Tuple[jax.Array, jax.Array]:
         ura = not train
@@ -83,6 +85,7 @@ class CelebaDecoder(nn.Module):
     output_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    use_pallas: bool = False
 
     def setup(self):
         dt = self.dtype
@@ -90,7 +93,8 @@ class CelebaDecoder(nn.Module):
         c1, c2, c3 = self.channels
         self._reshape_to = (h, w, ch)
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
-        self.preprocess = TorchLinear(ch * h * w, dtype=dt)
+        self.preprocess = TorchLinear(ch * h * w, dtype=dt,
+                                      use_pallas=self.use_pallas)
         self.pre_bn = bn()
         dconv = lambda c, s, op: TorchConvTranspose(
             c, 5, stride=s, padding=2, output_padding=op, dtype=dt)
@@ -124,6 +128,7 @@ class VAE(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    use_pallas: bool = False
 
     def setup(self):
         self.encoder = CelebaEncoder(
@@ -133,6 +138,7 @@ class VAE(nn.Module):
             input_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            use_pallas=self.use_pallas,
         )
         self.decoder = CelebaDecoder(
             n_hidden=self.n_hidden,
@@ -141,6 +147,7 @@ class VAE(nn.Module):
             output_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            use_pallas=self.use_pallas,
         )
 
     def encode(self, x: jax.Array, train: bool = True):

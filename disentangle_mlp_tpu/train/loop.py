@@ -121,7 +121,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
             last = {"Avg Loss": avg_loss, "FID": fid}
 
-    _eval_sweep(cfg, exp, {"model": exp.state}, decode_fn,
+    _eval_sweep(cfg, {"model": exp.state}, decode_fn,
                 lambda x: exp.reconstruct(exp.state, x, rng), test_loader,
                 assign=lambda s: setattr(exp, "state", s["model"]))
     last["images_per_sec"] = meter.rate()
@@ -184,7 +184,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                         "Avg Loss E": avg_d, "FID": fid})
             last = {"Avg Loss G": avg_g, "Avg Loss E": avg_d, "FID": fid}
 
-    _eval_sweep(cfg, exp, {"g": exp.g_state, "d": exp.d_state}, generate_fn,
+    _eval_sweep(cfg, {"g": exp.g_state, "d": exp.d_state}, generate_fn,
                 None, test_loader,
                 assign=lambda s: (setattr(exp, "g_state", s["g"]),
                                   setattr(exp, "d_state", s["d"])))
@@ -249,7 +249,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                         "FID": fid})
             last = {"Avg Eec Loss": enc_l, "Avg Dis Loss": dis_l, "FID": fid}
 
-    _eval_sweep(cfg, exp, {"eg": exp.eg_state, "d": exp.d_state}, decode_fn,
+    _eval_sweep(cfg, {"eg": exp.eg_state, "d": exp.d_state}, decode_fn,
                 recon_fn, test_loader,
                 assign=lambda s: (setattr(exp, "eg_state", s["eg"]),
                                   setattr(exp, "d_state", s["d"])))
@@ -257,7 +257,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     return last
 
 
-def _eval_sweep(cfg: Config, exp, template_states: Dict, decode_fn,
+def _eval_sweep(cfg: Config, template_states: Dict, decode_fn,
                 recon_fn, test_loader, assign: Callable) -> None:
     """Offline checkpoint sweep (reference: new_betavaegan.py:248-267,
     generate_samples_recons.py:36-56): for each --load_path checkpoint run
