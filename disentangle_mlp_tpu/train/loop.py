@@ -49,16 +49,25 @@ def _setup_parallel(cfg: Config):
 
 
 class Throughput:
-    """images/sec meter — the north-star perf metric (BASELINE.json)."""
+    """images/sec meter — the north-star perf metric (BASELINE.json).
+    The first ``warmup`` batches (XLA compilation) are excluded."""
 
-    def __init__(self):
+    def __init__(self, warmup: int = 1):
         self.images = 0
-        self.start = time.perf_counter()
+        self.batches = 0
+        self.warmup = warmup
+        self.start = None
 
     def add(self, n: int):
+        self.batches += 1
+        if self.batches <= self.warmup:
+            self.start = time.perf_counter()
+            return
         self.images += n
 
     def rate(self) -> float:
+        if self.start is None:
+            return 0.0
         dt = time.perf_counter() - self.start
         return self.images / dt if dt > 0 else 0.0
 
@@ -98,6 +107,8 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         start_epoch, states = load_checkpoint(
             cfg.load_path[0], {"model": exp.state})
         exp.state = states["model"]
+        if mesh is not None:  # restored host arrays: back onto the mesh
+            exp.state = replicate(exp.state, mesh)
 
     meter = Throughput()
     last = {}
@@ -150,6 +161,9 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         start_epoch, states = load_checkpoint(
             cfg.load_path[0], {"g": exp.g_state, "d": exp.d_state})
         exp.g_state, exp.d_state = states["g"], states["d"]
+        if mesh is not None:
+            exp.g_state = replicate(exp.g_state, mesh)
+            exp.d_state = replicate(exp.d_state, mesh)
     elif cfg.load_path and len(cfg.load_path) > 1 and cfg.to_train:
         raise ValueError("Cannot load more than one model for training")
 
@@ -215,6 +229,9 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         start_epoch, states = load_checkpoint(
             cfg.load_path[0], {"eg": exp.eg_state, "d": exp.d_state})
         exp.eg_state, exp.d_state = states["eg"], states["d"]
+        if mesh is not None:
+            exp.eg_state = replicate(exp.eg_state, mesh)
+            exp.d_state = replicate(exp.d_state, mesh)
 
     meter = Throughput()
     last = {}
