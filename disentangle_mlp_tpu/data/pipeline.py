@@ -132,16 +132,39 @@ class SyntheticSource:
     def __len__(self) -> int:
         return self.size
 
+    @staticmethod
+    def _hash_normal(idx: np.ndarray, j: np.ndarray, seed: int) -> np.ndarray:
+        """Deterministic per-(index, coeff) standard normals via integer
+        hashing + Box–Muller — fully vectorized (a per-index
+        ``default_rng`` was the old per-image bottleneck)."""
+        def h(salt):
+            v = (idx[:, None].astype(np.uint64) * np.uint64(2654435761)
+                 + j[None, :].astype(np.uint64) * np.uint64(40503)
+                 + np.uint64(seed * 7919 + salt))
+            v ^= v >> np.uint64(33)
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            v ^= v >> np.uint64(33)
+            return ((v & np.uint64(0xFFFFFFFF)).astype(np.float64) + 0.5) / 2**32
+        u1, u2 = h(1), h(2)
+        return (np.sqrt(-2.0 * np.log(u1))
+                * np.cos(2.0 * np.pi * u2)).astype(np.float32)
+
+    _CACHE_LIMIT_BYTES = 1 << 30  # cache datasets up to 1 GiB in RAM
+
+    def _materialize(self, idx: np.ndarray) -> np.ndarray:
+        coeff = self._hash_normal(idx, np.arange(16), self.seed) / 4.0
+        return np.tanh(np.tensordot(coeff, self._basis, axes=1)).astype(np.float32)
+
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        out = np.empty(
-            (len(indices), self.img_size, self.img_size, self.channels),
-            np.float32)
-        for j, i in enumerate(indices):
-            rng = np.random.default_rng(self.seed * 1000003 + int(i))
-            coeff = rng.normal(size=(16,)).astype(np.float32) / 4.0
-            img = np.tensordot(coeff, self._basis, axes=1)
-            out[j] = np.tanh(img)
-        labels = (np.asarray(indices) % 2).astype(np.int32)
+        idx = np.asarray(indices, np.int64)
+        nbytes = self.size * self.img_size ** 2 * self.channels * 4
+        if nbytes <= self._CACHE_LIMIT_BYTES:
+            if not hasattr(self, "_cache"):
+                self._cache = self._materialize(np.arange(self.size))
+            out = self._cache[idx]
+        else:
+            out = self._materialize(idx)
+        labels = (idx % 2).astype(np.int32)
         return out, labels
 
 
