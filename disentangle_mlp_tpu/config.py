@@ -102,6 +102,10 @@ class Config:
     synthetic_train_size: int = 4096
     # If set, jax.profiler traces are written here.
     profile_dir: str = ""
+    # Keep only the newest N checkpoints (0 = keep all, the reference's
+    # behaviour; rotation was the intent of its scratch prototype,
+    # experiments/test.py:343-345).
+    keep_checkpoints: int = 0
     # Route big dense layers through the experimental Pallas fused matmul
     # (ops/pallas/matmul_fused.py). Measured slower than XLA on v5e for the
     # reference shapes — off by default; see the kernel docstring.
@@ -223,6 +227,7 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
+    p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     return p
 
 

@@ -28,7 +28,8 @@ from ..data.pipeline import get_data_loader
 from ..eval.samples import gen_reconstructions, generate_fid_samples, generate_samples
 from ..parallel.mesh import (batch_sharding, make_mesh,
                              maybe_initialize_distributed, replicate)
-from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.checkpoint import (load_checkpoint, rotate_checkpoints,
+                                 save_checkpoint)
 from ..utils.logger import Logger
 from .gan import create_gan_experiment
 from .vae import create_vae_experiment
@@ -126,6 +127,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             avg_loss = total_loss / train_loader.dataset_size
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}",
                             epoch + 1, {"model": exp.state})
+            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
                   f"FID: {fid} ({meter.rate():.1f} img/s)")
@@ -190,6 +192,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             avg_g, avg_d = sum_g / n, sum_d / n
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                             {"g": exp.g_state, "d": exp.d_state})
+            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
                   f"Average loss D: {avg_d:.4f} FID: {fid} "
@@ -253,6 +256,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             dis_l, d_x = sums["dis"] / n, sums["Dx"] / n
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                             {"eg": exp.eg_state, "d": exp.d_state})
+            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
             # our Config defines it (config.py).

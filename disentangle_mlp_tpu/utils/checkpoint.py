@@ -15,6 +15,7 @@ size; revisit if models grow).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict
 
 import jax
@@ -45,3 +46,18 @@ def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:
     epoch = int(raw["epoch"])
     states = serialization.from_state_dict(template_states, raw["states"])
     return epoch, states
+
+
+def rotate_checkpoints(model_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` ``model_<N>`` files (0 = keep
+    all). Fulfils the rotation intent of the reference's prototype
+    (experiments/test.py:343-345) without its off-by-epoch bugs."""
+    if keep <= 0 or not os.path.isdir(model_dir):
+        return
+    entries = []
+    for name in os.listdir(model_dir):
+        m = re.fullmatch(r"model_(\d+)", name)
+        if m:
+            entries.append((int(m.group(1)), name))
+    for _, name in sorted(entries)[:-keep]:
+        os.unlink(os.path.join(model_dir, name))

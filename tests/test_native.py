@@ -44,6 +44,30 @@ def test_identity_resize_is_exact():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_threadsanitizer_clean(tmp_path):
+    """Race detection for the native threading (the reference has no
+    sanitizer story — SURVEY.md §5): build the kernels + harness with
+    -fsanitize=thread and require a clean run."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "preprocess.cpp")
+    harness = os.path.join(root, "native", "preprocess_tsan_test.cpp")
+    exe = tmp_path / "tsan_test"
+    build = subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-pthread", "-fsanitize=thread",
+         src, harness, "-o", str(exe)],
+        capture_output=True, text=True, timeout=120)
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr[:200]}")
+    run = subprocess.run([str(exe)], capture_output=True, text=True,
+                         timeout=120)
+    assert run.returncode == 0, run.stderr
+    assert "WARNING: ThreadSanitizer" not in run.stderr, run.stderr
+    assert "tsan harness ok" in run.stdout
+
+
 def test_pipeline_uses_native_path(tmp_path):
     from PIL import Image
 
