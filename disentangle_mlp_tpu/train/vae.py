@@ -69,15 +69,20 @@ def create_vae_experiment(cfg: Config, rng: jax.Array) -> VAEExperiment:
     def decode(state: ModelState, z: jax.Array) -> jax.Array:
         # The reference samples with the model left in train() mode, so BN
         # uses the sample batch's own statistics (new_vae.py:96-97 after :51).
-        return model.apply(
+        out, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             z, train=True, method=VAE.decode,
+            mutable=["batch_stats"],
         )
+        return out
 
     def reconstruct(state: ModelState, x: jax.Array, rng: jax.Array) -> jax.Array:
-        recon, _, _ = model.apply(
+        # train-mode BN (reference behaviour, new_vae.py:122 after :51) —
+        # batch_stats must be mutable even though the update is discarded
+        (recon, _, _), _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=True, rngs={"reparam": rng},
+            mutable=["batch_stats"],
         )
         return recon
 

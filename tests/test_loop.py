@@ -66,6 +66,19 @@ def test_run_vaegan_end_to_end_with_eval(tmp_path):
     assert list(Path(cfg2.test_results_path_samples).glob("sample_*.png"))
 
 
+def test_run_vae_eval_recons(tmp_path):
+    """Regression: the VAE eval sweep's reconstruction path (train-mode BN
+    with discarded stats) must not crash on immutable collections."""
+    cfg = tiny_run_cfg(tmp_path, "vae_r")
+    run_vae(cfg)
+    ckpt = str(Path(cfg.model_path) / "model_1")
+    cfg2 = tiny_run_cfg(tmp_path, "vae_r_eval", to_train=False,
+                        test_recons=True, test_samples=True,
+                        load_path=[ckpt])
+    run_vae(cfg2)
+    assert list(Path(cfg2.test_results_path_recons).glob("recon_*.png"))
+
+
 def test_run_gan_end_to_end(tmp_path):
     cfg = tiny_run_cfg(tmp_path, "gan_t")
     run_gan(cfg)
