@@ -115,16 +115,21 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
-            total_loss, step_rng = 0.0, jax.random.fold_in(rng, epoch)
+            step_rng = jax.random.fold_in(rng, epoch)
+            # metrics accumulate ON DEVICE; fetching them per step would
+            # force a host sync every batch (expensive over a TPU tunnel).
+            # Only the sparse log_interval print fetches mid-epoch.
+            total_loss = None
             for i, (x, _) in enumerate(train_loader):
                 exp.state, m = exp.train_step(
                     exp.state, x, jax.random.fold_in(step_rng, i))
-                total_loss += float(m["loss"])
+                total_loss = m["loss"] if total_loss is None \
+                    else total_loss + m["loss"]
                 meter.add(x.shape[0])
                 if i % cfg.log_interval == 0:
                     print(f"Train Epoch: {epoch} [{i}/{len(train_loader)}] "
                           f"Loss: {float(m['loss']) / x.shape[0]:.6f}")
-            avg_loss = total_loss / train_loader.dataset_size
+            avg_loss = float(total_loss) / train_loader.dataset_size
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}",
                             epoch + 1, {"model": exp.state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
@@ -173,13 +178,14 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
-            sum_g, sum_d, step_rng = 0.0, 0.0, jax.random.fold_in(rng, epoch)
+            sum_g, sum_d = None, None
+            step_rng = jax.random.fold_in(rng, epoch)
             for i, (x, _) in enumerate(train_loader):
                 exp.g_state, exp.d_state, m = exp.train_step(
                     exp.g_state, exp.d_state, x,
                     jax.random.fold_in(step_rng, i))
-                sum_g += float(m["errG"])
-                sum_d += float(m["errD"])
+                sum_g = m["errG"] if sum_g is None else sum_g + m["errG"]
+                sum_d = m["errD"] if sum_d is None else sum_d + m["errD"]
                 meter.add(x.shape[0])
                 if i % cfg.log_interval == 0:
                     print(f"[{epoch}/{cfg.epochs}][{i}/{len(train_loader)}] "
@@ -189,7 +195,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           f"D(G(z)): {float(m['D_G_z1']):.4f}/"
                           f"{float(m['D_G_z2']):.4f}")
             n = train_loader.dataset_size
-            avg_g, avg_d = sum_g / n, sum_d / n
+            avg_g, avg_d = float(sum_g) / n, float(sum_d) / n
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                             {"g": exp.g_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
@@ -240,20 +246,21 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
-            sums = {"enc": 0.0, "dec": 0.0, "dis": 0.0, "Dx": 0.0}
+            sums = None
             step_rng = jax.random.fold_in(rng, epoch)
             for i, (x, _) in enumerate(train_loader):
                 exp.eg_state, exp.d_state, m = exp.train_step(
                     exp.eg_state, exp.d_state, x,
                     jax.random.fold_in(step_rng, i))
-                sums["enc"] += float(m["recon_enc"])
-                sums["dec"] += float(m["recon_dec"])
-                sums["dis"] += float(m["dis"])
-                sums["Dx"] += float(m["D_x"])
+                keep = {k: m[k] for k in
+                        ("recon_enc", "recon_dec", "dis", "D_x")}
+                sums = keep if sums is None else \
+                    {k: sums[k] + keep[k] for k in sums}
                 meter.add(x.shape[0])
             n = train_loader.dataset_size
-            enc_l, dec_l = sums["enc"] / n, sums["dec"] / n
-            dis_l, d_x = sums["dis"] / n, sums["Dx"] / n
+            enc_l, dec_l = float(sums["recon_enc"]) / n, \
+                float(sums["recon_dec"]) / n
+            dis_l, d_x = float(sums["dis"]) / n, float(sums["D_x"]) / n
             save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                             {"eg": exp.eg_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
