@@ -28,8 +28,8 @@ from ..data.pipeline import get_data_loader
 from ..eval.samples import gen_reconstructions, generate_fid_samples, generate_samples
 from ..parallel.mesh import (batch_sharding, make_mesh,
                              maybe_initialize_distributed, replicate)
-from ..utils.checkpoint import (load_checkpoint, rotate_checkpoints,
-                                 save_checkpoint)
+from ..utils.checkpoint import (AsyncCheckpointer, load_checkpoint,
+                                 rotate_checkpoints)
 from ..utils.logger import Logger
 from .gan import create_gan_experiment
 from .vae import create_vae_experiment
@@ -112,6 +112,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             exp.state = replicate(exp.state, mesh)
 
     meter = Throughput()
+    ckpt = AsyncCheckpointer()
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -130,8 +131,8 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                     print(f"Train Epoch: {epoch} [{i}/{len(train_loader)}] "
                           f"Loss: {float(m['loss']) / x.shape[0]:.6f}")
             avg_loss = float(total_loss) / train_loader.dataset_size
-            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}",
-                            epoch + 1, {"model": exp.state})
+            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}",
+                      epoch + 1, {"model": exp.state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
@@ -139,6 +140,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
             last = {"Avg Loss": avg_loss, "FID": fid}
 
+    ckpt.wait()
     _eval_sweep(cfg, {"model": exp.state}, decode_fn,
                 lambda x: exp.reconstruct(exp.state, x, rng), test_loader,
                 assign=lambda s: setattr(exp, "state", s["model"]))
@@ -175,6 +177,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
+    ckpt = AsyncCheckpointer()
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -196,8 +199,8 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           f"{float(m['D_G_z2']):.4f}")
             n = train_loader.dataset_size
             avg_g, avg_d = float(sum_g) / n, float(sum_d) / n
-            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                            {"g": exp.g_state, "d": exp.d_state})
+            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                      {"g": exp.g_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
@@ -207,6 +210,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                         "Avg Loss E": avg_d, "FID": fid})
             last = {"Avg Loss G": avg_g, "Avg Loss E": avg_d, "FID": fid}
 
+    ckpt.wait()
     _eval_sweep(cfg, {"g": exp.g_state, "d": exp.d_state}, generate_fn,
                 None, test_loader,
                 assign=lambda s: (setattr(exp, "g_state", s["g"]),
@@ -243,6 +247,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             exp.d_state = replicate(exp.d_state, mesh)
 
     meter = Throughput()
+    ckpt = AsyncCheckpointer()
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -261,8 +266,8 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             enc_l, dec_l = float(sums["recon_enc"]) / n, \
                 float(sums["recon_dec"]) / n
             dis_l, d_x = float(sums["dis"]) / n, float(sums["D_x"]) / n
-            save_checkpoint(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                            {"eg": exp.eg_state, "d": exp.d_state})
+            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                      {"eg": exp.eg_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
@@ -277,6 +282,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                         "FID": fid})
             last = {"Avg Eec Loss": enc_l, "Avg Dis Loss": dis_l, "FID": fid}
 
+    ckpt.wait()
     _eval_sweep(cfg, {"eg": exp.eg_state, "d": exp.d_state}, decode_fn,
                 recon_fn, test_loader,
                 assign=lambda s: (setattr(exp, "eg_state", s["eg"]),

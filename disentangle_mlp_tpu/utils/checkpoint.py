@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Dict
+import threading
+from typing import Any, Dict, Optional
 
 import jax
 from flax import serialization
@@ -36,6 +37,49 @@ def save_checkpoint(path: str, epoch: int, states: Dict[str, Any]) -> str:
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+@jax.jit
+def _device_snapshot(tree):
+    """On-device copy (HBM→HBM, ~ms): the snapshot owns fresh buffers, so
+    the caller's live training state can be donated to the next step while
+    the slow device→host transfer proceeds in the background."""
+    return jax.tree.map(lambda a: a + jax.numpy.zeros((), a.dtype), tree)
+
+
+class AsyncCheckpointer:
+    """Overlapped checkpointing: ``save()`` snapshots the state on device
+    and returns immediately; a worker thread performs the device→host
+    transfer + serialization + atomic write. Measured motivation: a full
+    β-VAE-GAN state is 1.3 GB ≈ 55 s over the tunneled TPU — blocking that
+    per epoch (the reference's torch.save is synchronous too,
+    new_betavaegan.py:222-228) would rival the epoch's compute. Saves are
+    single-flight; ``wait()`` drains before eval/exit."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, epoch: int, states: Dict[str, Any]) -> None:
+        self.wait()  # single-flight: previous save must land first
+        snap = _device_snapshot(states)
+
+        def worker():
+            try:
+                save_checkpoint(path, epoch, snap)
+            except BaseException as e:  # surfaced on next wait()/save()
+                self._error = e
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:

