@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import json
 
-import numpy as np
-
 from ..bo.driver import REFERENCE_OBSERVATIONS, BetaSearch, make_training_objective
 from ..bo.gp import expected_improvement
 from ..config import Config, build_arg_parser, str2bool

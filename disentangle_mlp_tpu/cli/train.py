@@ -10,8 +10,6 @@ directory tree, JSON log schema, and checkpoint/eval semantics.
 
 from __future__ import annotations
 
-import sys
-
 from ..config import Config, build_arg_parser
 from ..train.loop import RUNNERS
 

@@ -28,7 +28,7 @@ import threading
 import queue
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

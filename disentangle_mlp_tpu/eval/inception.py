@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ call; only the final uint8 conversion touches the host. Extension is .png
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
 import jax
 import numpy as np

@@ -26,7 +26,7 @@ U(-1/sqrt(fan_in), +1/sqrt(fan_in)), which ``weights_init`` never touches.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

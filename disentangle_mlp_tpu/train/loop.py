@@ -21,7 +21,6 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..config import Config
 from ..data.pipeline import get_data_loader

@@ -8,7 +8,7 @@ loss at :39-48, per-batch update at :50-60. The whole per-batch body
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

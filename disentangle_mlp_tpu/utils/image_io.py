@@ -13,8 +13,6 @@ One deliberate fix: the reference saved FID samples as ``.pdf``
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
 
 

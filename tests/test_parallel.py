@@ -59,6 +59,28 @@ def test_vaegan_step_sharded_matches_unsharded(batch):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_scan_driver_composes_with_sharding(batch):
+    """The lax.scan multi-step driver must run with replicated states and
+    batch-sharded inputs (the pod-scale configuration)."""
+    from disentangle_mlp_tpu.train.scan import make_multi_step
+
+    cfg = tiny_cfg(beta=25.0)
+    mesh = make_mesh()
+    exp = create_vaegan_experiment(cfg, jax.random.key(5))
+    multi = make_multi_step(exp.step_fn, n_states=2, donate=False)
+    eg = replicate(exp.eg_state, mesh)
+    d = replicate(exp.d_state, mesh)
+    batches = jnp.stack([batch, batch[::-1]])
+    batches = jax.device_put(
+        batches, jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "data")))
+    eg2, d2, metrics = multi(eg, d, batches, jax.random.key(6))
+    assert metrics["recon_enc"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(metrics["recon_enc"])))
+    leaf = jax.tree_util.tree_leaves(eg2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_sharded_steps_keep_sharding_stable(batch):
     """Multiple chained sharded steps: no resharding churn, finite losses."""
     cfg = tiny_cfg(beta=50.0)
