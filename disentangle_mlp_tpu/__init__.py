@@ -19,3 +19,24 @@ A ground-up rebuild of the capabilities of RicoFio/disentangle_mlp
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import disentangle_mlp_tpu` free of jax
+    initialization side effects)."""
+    if name in ("Config", "EnvSetter", "config_from_args"):
+        from . import config
+        return getattr(config, name)
+    if name in ("run_vae", "run_gan", "run_vaegan", "RUNNERS"):
+        from .train import loop
+        return getattr(loop, name)
+    if name in ("get_fid", "get_fid_from_samples", "frechet_distance"):
+        from .eval import fid
+        return getattr(fid, name)
+    if name == "get_data_loader":
+        from .data.pipeline import get_data_loader
+        return get_data_loader
+    if name == "Logger":
+        from .utils.logger import Logger
+        return Logger
+    raise AttributeError(name)
