@@ -79,6 +79,24 @@ def test_run_vae_eval_recons(tmp_path):
     assert list(Path(cfg2.test_results_path_recons).glob("recon_*.png"))
 
 
+def test_multi_checkpoint_eval_sweep(tmp_path):
+    """Sweep several --load_path checkpoints (reference:
+    new_betavaegan.py:248-267), including the epoch de-collision when the
+    same checkpoint is given twice (:253-254)."""
+    cfg = tiny_run_cfg(tmp_path, "bvg_m", epochs=2)
+    run_vaegan(cfg)
+    c1 = str(Path(cfg.model_path) / "model_1")
+    c2 = str(Path(cfg.model_path) / "model_2")
+
+    cfg2 = tiny_run_cfg(tmp_path, "bvg_m_eval", to_train=False,
+                        test_samples=True, load_path=[c1, c2, c2])
+    run_vaegan(cfg2)
+    samples = {p.name for p in
+               Path(cfg2.test_results_path_samples).glob("sample_*.png")}
+    # epochs resolved to 1, 2, then de-collided to 3
+    assert {"sample_1.png", "sample_2.png", "sample_3.png"} <= samples
+
+
 def test_run_gan_end_to_end(tmp_path):
     cfg = tiny_run_cfg(tmp_path, "gan_t")
     run_gan(cfg)
