@@ -1,10 +1,17 @@
 """Device-fed input pipeline.
 
 TPU-native replacement for the reference's torchvision ImageFolder +
-DataLoader worker processes (reference: dataloader/dataset.py:37-50). The
-reference pipeline is: PIL decode → Resize((64,64)) → CenterCrop(64) (a
-no-op after an exact resize) → ToTensor → Normalize(0.5, 0.5), i.e. pixels
-scaled to [-1, 1] to match the decoder's Tanh (models/model.py:360).
+DataLoader worker processes (reference: dataloader/dataset.py:14-52). The
+reference pipelines per dataset (dataset.py:9-12):
+- celebA/celebA_reduced: PIL decode → Resize((64,64)) → CenterCrop(64) (a
+  no-op after an exact resize) → ToTensor → Normalize(0.5, 0.5), i.e.
+  pixels scaled to [-1, 1] to match the decoder's Tanh (models/model.py:360).
+- birds: Resize → ToTensor → ImageNet Normalize([.485,.456,.406],
+  [.229,.224,.225]) (dataset.py:9-10,15-24); train loader only.
+- mnist: Resize → ToTensor → Normalize(0.1307, 0.3081) over torchvision's
+  auto-downloaded MNIST (dataset.py:26-35); here the idx files must already
+  be on disk (no network egress) — ``MNISTSource`` reads the standard
+  (optionally gzipped) idx format from the image root.
 
 Design:
 - ``ImageFolderSource`` scans class subdirectories exactly like torchvision
@@ -16,9 +23,12 @@ Design:
 - ``DataLoader`` batches, shuffles per epoch with a seeded RNG, prefetches
   ahead of the step, and places batches on device with an optional
   batch-axis ``NamedSharding`` so each TPU chip receives only its shard.
+  On multi-host pods each process decodes only its ``1/process_count``
+  slice of the global batch and the global device array is assembled with
+  ``jax.make_array_from_process_local_data`` (no redundant decode).
 
-Layout is NHWC float32 in [-1, 1]; casting to the model compute dtype
-happens inside the jitted step.
+Layout is NHWC float32; casting to the model compute dtype happens inside
+the jitted step.
 """
 
 from __future__ import annotations
@@ -35,6 +45,14 @@ import jax.numpy as jnp
 import numpy as np
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
+
+# Per-dataset Normalize(mean, std) constants (reference dataset.py:9-12).
+NORMALIZE = {
+    "celebA": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    "celebA_reduced": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+    "birds": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "mnist": ((0.1307,), (0.3081,)),
+}
 
 
 def _decode_resize(path: str, size: int) -> np.ndarray:
@@ -61,14 +79,28 @@ def normalize_to_unit_range(batch_u8: np.ndarray) -> np.ndarray:
     return batch_u8.astype(np.float32) * (2.0 / 255.0) - 1.0
 
 
+def renormalize_pm1(batch_pm1: np.ndarray, mean, std) -> np.ndarray:
+    """[-1,1] floats → Normalize(mean, std) space, as one affine per channel:
+    (x01 − mean)/std with x01 = (x + 1)/2. Identity for mean = std = 0.5."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    if np.allclose(mean, 0.5) and np.allclose(std, 0.5):
+        return batch_pm1
+    scale = 0.5 / std
+    shift = (0.5 - mean) / std
+    return batch_pm1 * scale + shift
+
+
 class ImageFolderSource:
     """torchvision-ImageFolder-compatible directory scan: one subdirectory
     per class, images sorted for determinism."""
 
-    def __init__(self, root: str, img_size: int = 64, num_workers: int = 8):
+    def __init__(self, root: str, img_size: int = 64, num_workers: int = 8,
+                 normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))):
         self.root = root
         self.img_size = img_size
         self.num_workers = max(1, num_workers)
+        self.normalize = normalize
         self.samples: List[Tuple[str, int]] = []
         classes = sorted(
             d.name for d in Path(root).iterdir() if d.is_dir())
@@ -90,6 +122,7 @@ class ImageFolderSource:
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         paths = [self.samples[i][0] for i in indices]
         labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
+        mean, std = self.normalize
         if (self._native is not None and self._native.has_jpeg()
                 and all(p.lower().endswith((".jpg", ".jpeg"))
                         for p in paths)):
@@ -101,16 +134,82 @@ class ImageFolderSource:
                 for j in np.nonzero(~ok)[0]:
                     batch[j] = normalize_to_unit_range(
                         _decode_resize(paths[j], self.img_size))
-            return batch, labels
+            return renormalize_pm1(batch, mean, std), labels
         if self._native is not None:
             # PIL decode (GIL-releasing) in threads; fused C++ bilinear
             # resize + [-1,1] normalize + batch assembly.
             raw = list(self._pool.map(_decode, paths))
-            return self._native.resize_normalize_batch(
-                raw, self.img_size, num_threads=self.num_workers), labels
+            batch = self._native.resize_normalize_batch(
+                raw, self.img_size, num_threads=self.num_workers)
+            return renormalize_pm1(batch, mean, std), labels
         imgs = list(self._pool.map(
             lambda p: _decode_resize(p, self.img_size), paths))
-        return normalize_to_unit_range(np.stack(imgs)), labels
+        batch = normalize_to_unit_range(np.stack(imgs))
+        return renormalize_pm1(batch, mean, std), labels
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse one (optionally gzipped) MNIST idx file → uint8 ndarray."""
+    import gzip
+    import struct
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
+        if zero != 0 or dtype_code != 0x08:
+            raise ValueError(f"not a uint8 idx file: {path!r}")
+        shape = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        data = np.frombuffer(f.read(), np.uint8)
+    return data.reshape(shape)
+
+
+def find_mnist_files(root: str, train: bool = True):
+    """Locate the MNIST idx pair under ``root`` (flat, or torchvision's
+    MNIST/raw layout), gzipped or not. Returns (images_path, labels_path)
+    or None. The reference auto-downloads via torchvision
+    (dataset.py:32) — no network egress here, so the files must exist."""
+    stem = "train" if train else "t10k"
+    dirs = [Path(root), Path(root) / "MNIST" / "raw", Path(root) / "raw"]
+    for d in dirs:
+        for suffix in ("", ".gz"):
+            imgs = d / f"{stem}-images-idx3-ubyte{suffix}"
+            lbls = d / f"{stem}-labels-idx1-ubyte{suffix}"
+            if imgs.is_file() and lbls.is_file():
+                return str(imgs), str(lbls)
+    return None
+
+
+class MNISTSource:
+    """MNIST from on-disk idx files: decode → Resize(img_size, bilinear) →
+    Normalize(0.1307, 0.3081) (reference dataset.py:11,26-35). Output is
+    (B, img_size, img_size, 1) float32."""
+
+    MEAN, STD = 0.1307, 0.3081
+
+    def __init__(self, root: str, img_size: int = 28, train: bool = True):
+        found = find_mnist_files(root, train=train)
+        if found is None:
+            raise FileNotFoundError(f"no MNIST idx files under {root!r}")
+        self.images = _read_idx(found[0])  # (N, 28, 28) uint8
+        self.labels = _read_idx(found[1]).astype(np.int32)
+        assert self.images.shape[0] == self.labels.shape[0]
+        self.img_size = img_size
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        imgs = self.images[np.asarray(indices)]
+        if self.img_size != imgs.shape[1]:
+            imgs = np.stack([
+                np.asarray(Image.fromarray(im).resize(
+                    (self.img_size, self.img_size), Image.BILINEAR))
+                for im in imgs])
+        x = imgs.astype(np.float32) / 255.0
+        x = (x - self.MEAN) / self.STD
+        return x[..., None], self.labels[np.asarray(indices)]
 
 
 class SyntheticSource:
@@ -168,6 +267,16 @@ class SyntheticSource:
         return out, labels
 
 
+def process_local_slice(indices: np.ndarray, process_index: int,
+                        process_count: int) -> np.ndarray:
+    """The contiguous per-process slice of one global batch's indices.
+    Contiguous blocks line up with a 1-D ``Mesh`` built from
+    ``jax.devices()`` (process-major order), so
+    ``make_array_from_process_local_data`` needs no resharding."""
+    per = len(indices) // process_count
+    return indices[process_index * per:(process_index + 1) * per]
+
+
 class DataLoader:
     """Shuffling, batching, prefetching loader that yields device arrays.
 
@@ -178,7 +287,9 @@ class DataLoader:
     def __init__(self, source, batch_size: int, shuffle: bool = False,
                  seed: int = 999, drop_last: bool = True,
                  sharding: Optional[jax.sharding.Sharding] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.source = source
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -187,6 +298,18 @@ class DataLoader:
         self.sharding = sharding
         self.prefetch = max(1, prefetch)
         self._epoch = 0
+        # Per-host slicing (pods): every process derives the SAME global
+        # index permutation (seeded), then decodes only its contiguous
+        # 1/process_count slice of each batch. Overridable for single-host
+        # simulation in tests.
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if self.process_count > 1 and batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly across "
+                f"{self.process_count} processes")
 
     def __len__(self) -> int:
         n = len(self.source)
@@ -214,7 +337,21 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        multihost = (self.process_count > 1 and jax.process_count() > 1
+                     and self.sharding is not None)
+
         def put_on_device(arr: np.ndarray) -> jax.Array:
+            if multihost:
+                # arr is this host's slice; assemble the global array from
+                # per-process shards without any cross-host data movement.
+                gshape = (self.batch_size,) + arr.shape[1:]
+                sh = self.sharding
+                if arr.ndim == 1:  # labels: shard axis 0 on the same mesh
+                    sh = jax.sharding.NamedSharding(
+                        self.sharding.mesh, jax.sharding.PartitionSpec(
+                            *self.sharding.spec[:1]))
+                return jax.make_array_from_process_local_data(
+                    sh, arr, gshape)
             if self.sharding is not None:
                 return jax.device_put(arr, self.sharding)
             return jnp.asarray(arr)
@@ -224,8 +361,14 @@ class DataLoader:
                 for b in batches:
                     if stop.is_set():
                         return
+                    if self.process_count > 1:
+                        b = process_local_slice(
+                            b, self.process_index, self.process_count)
                     x, y = self.source.load_batch(b)
-                    q.put((put_on_device(x), jnp.asarray(y)))
+                    if multihost:
+                        q.put((put_on_device(x), put_on_device(y)))
+                    else:
+                        q.put((put_on_device(x), jnp.asarray(y)))
                 q.put(None)
             except BaseException as e:  # surface in consumer
                 q.put(e)
@@ -247,10 +390,17 @@ class DataLoader:
 def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
     """(train, val, test) loaders switched on opt.dataset — same contract as
     the reference's get_data_loader (dataset.py:14-52), with a synthetic
-    branch when ``opt.synthetic_data`` is set or the image roots are absent."""
+    branch when ``opt.synthetic_data`` is set or the image roots are absent.
 
-    def make(root: str, batch: int, shuffle: bool, split_seed: int):
+    Per the reference, birds and mnist provide a train loader only
+    (dataset.py:23-24,34-35 return None val/test); their per-dataset
+    normalization constants are applied (dataset.py:9-11)."""
+
+    def make(root: str, batch: int, shuffle: bool, split_seed: int,
+             normalize=NORMALIZE["celebA"], source_cls=None):
         use_synth = bool(getattr(opt, "synthetic_data", False)) or not os.path.isdir(root)
+        if not use_synth and source_cls is MNISTSource:
+            use_synth = find_mnist_files(root) is None
         if use_synth:
             n = getattr(opt, "synthetic_train_size", 4096)
             if not shuffle:
@@ -258,17 +408,70 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
             src = SyntheticSource(size=n, img_size=opt.img_size,
                                   channels=opt.input_channels,
                                   seed=opt.seed + split_seed)
+        elif source_cls is MNISTSource:
+            src = MNISTSource(root, img_size=opt.img_size)
         else:
             src = ImageFolderSource(root, img_size=opt.img_size,
-                                    num_workers=opt.num_workers)
-        # the batch sharding belongs to the TRAIN stream only (val/test
-        # batch sizes need not divide the device count)
+                                    num_workers=opt.num_workers,
+                                    normalize=normalize)
+        # the batch sharding (and per-host slicing) belongs to the TRAIN
+        # stream only (val/test batch sizes need not divide the device
+        # count, and every host evaluates the full batch)
         return DataLoader(src, batch, shuffle=shuffle, seed=opt.seed,
-                          sharding=sharding if shuffle else None)
+                          sharding=sharding if shuffle else None,
+                          process_index=None if shuffle else 0,
+                          process_count=None if shuffle else 1)
 
-    if opt.dataset in ("celebA", "celebA_reduced", "birds", "mnist"):
+    if opt.dataset in ("celebA", "celebA_reduced"):
         train = make(opt.image_root_train, opt.batch_size_train, True, 0)
         val = make(opt.image_root_val, opt.batch_size_val, False, 1)
         test = make(opt.image_root_test, opt.batch_size_test, False, 2)
         return train, val, test
+    if opt.dataset == "birds":
+        train = make(opt.image_root_train, opt.batch_size_train, True, 0,
+                     normalize=NORMALIZE["birds"])
+        return train, None, None
+    if opt.dataset == "mnist":
+        train = make(opt.image_root_train, opt.batch_size_train, True, 0,
+                     source_cls=MNISTSource)
+        return train, None, None
     raise ValueError(f"unknown dataset {opt.dataset!r}")
+
+
+def hostshard_selftest(mesh) -> None:
+    """Prove the per-host slicing contract on one host: H simulated
+    processes each decode ONLY their contiguous slice of the global batch,
+    and the concatenation equals the single-process batch bit-for-bit.
+    Run by ``__graft_entry__.dryrun_multichip`` and the test suite."""
+
+    class Recording:
+        """Records each load_batch call (the prefetch thread keeps loading
+        subsequent batches, so only the FIRST call is the first batch)."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = []
+
+        def __len__(self):
+            return len(self.inner)
+
+        def load_batch(self, indices):
+            self.calls.append(np.asarray(indices).tolist())
+            return self.inner.load_batch(indices)
+
+    H, B = 2, 8
+    base = SyntheticSource(size=32, img_size=8, seed=7)
+    full_x, _ = next(iter(DataLoader(
+        base, B, shuffle=True, seed=13, process_index=0, process_count=1)))
+    parts, first = [], []
+    for h in range(H):
+        rec = Recording(SyntheticSource(size=32, img_size=8, seed=7))
+        x, _ = next(iter(DataLoader(
+            rec, B, shuffle=True, seed=13,
+            process_index=h, process_count=H)))
+        assert x.shape[0] == B // H, x.shape
+        parts.append(np.asarray(x))
+        first.append(rec.calls[0])
+    assert not set(first[0]) & set(first[1]), "hosts decoded overlapping rows"
+    assert len(first[0]) == len(first[1]) == B // H
+    np.testing.assert_array_equal(np.concatenate(parts), np.asarray(full_x))

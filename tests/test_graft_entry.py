@@ -1,0 +1,36 @@
+"""Driver-gate tests: dryrun_multichip must work both in-process (enough
+devices already visible) and via its self-bootstrap subprocess path (cold
+1-device host — the configuration the driver runs, VERDICT round 1 item 1)."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_dryrun_multichip_in_process():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_bootstraps_from_one_device():
+    """Simulate the driver's cold call on a 1-device host: a fresh process
+    with NO virtual-device flag must self-bootstrap into a forced-CPU
+    subprocess and pass."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "DMT_DRYRUN_CHILD")}
+    env["JAX_PLATFORMS"] = "cpu"  # 1 CPU device in the parent
+    code = ("import jax, __graft_entry__ as g; "
+            "assert len(jax.devices()) == 1, jax.devices(); "
+            "g.dryrun_multichip(4)")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "dryrun_multichip(4): ok" in r.stdout

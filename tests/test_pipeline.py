@@ -64,3 +64,95 @@ def test_image_folder_source(tmp_path):
     assert x.shape == (6, 32, 32, 3)
     assert set(y.tolist()) == {0, 1}
     assert x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_renormalize_birds_matches_torch_formula():
+    from disentangle_mlp_tpu.data.pipeline import NORMALIZE, renormalize_pm1
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    pm1 = normalize_to_unit_range(u8)
+    got = renormalize_pm1(pm1, *NORMALIZE["birds"])
+    x01 = u8.astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    np.testing.assert_allclose(got, (x01 - mean) / std, atol=1e-5)
+    # celebA constants are the identity
+    np.testing.assert_array_equal(
+        renormalize_pm1(pm1, *NORMALIZE["celebA"]), pm1)
+
+
+def _write_mnist_idx(root, n=16, gz=False):
+    import gzip
+    import struct
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (n, 28, 28), dtype=np.uint8)
+    lbls = rng.integers(0, 10, (n,), dtype=np.uint8)
+    op = gzip.open if gz else open
+    sfx = ".gz" if gz else ""
+    with op(root / f"train-images-idx3-ubyte{sfx}", "wb") as f:
+        f.write(struct.pack(">HBB3I", 0, 8, 3, n, 28, 28))
+        f.write(imgs.tobytes())
+    with op(root / f"train-labels-idx1-ubyte{sfx}", "wb") as f:
+        f.write(struct.pack(">HBBI", 0, 8, 1, n))
+        f.write(lbls.tobytes())
+    return imgs, lbls
+
+
+def test_mnist_source_idx(tmp_path):
+    from disentangle_mlp_tpu.data.pipeline import MNISTSource
+    imgs, lbls = _write_mnist_idx(tmp_path / "mnist")
+    src = MNISTSource(str(tmp_path / "mnist"), img_size=28)
+    assert len(src) == 16
+    x, y = src.load_batch(np.arange(4))
+    assert x.shape == (4, 28, 28, 1)
+    np.testing.assert_array_equal(y, lbls[:4].astype(np.int32))
+    # Normalize(0.1307, 0.3081) after ToTensor (reference dataset.py:11)
+    want = (imgs[:4].astype(np.float32) / 255.0 - 0.1307) / 0.3081
+    np.testing.assert_allclose(x[..., 0], want, atol=1e-5)
+    # resize path + gzip variant (torchvision raw layout)
+    _write_mnist_idx(tmp_path / "g" / "MNIST" / "raw", gz=True)
+    src2 = MNISTSource(str(tmp_path / "g"), img_size=32)
+    x2, _ = src2.load_batch(np.arange(2))
+    assert x2.shape == (2, 32, 32, 1)
+
+
+def test_get_data_loader_birds_mnist_contract(tmp_path):
+    # reference returns (train, None, None) for birds/mnist
+    # (dataset.py:23-24,34-35)
+    for ds, ch in [("birds", 3), ("mnist", 1)]:
+        cfg = Config(name="t", dataset=ds, synthetic_data=True,
+                     synthetic_train_size=32, batch_size_train=8,
+                     img_size=16, input_channels=ch,
+                     save_path=str(tmp_path / ds / "%"),
+                     log_path=str(tmp_path / ds / "%/log")).finalize()
+        train, val, test = get_data_loader(cfg)
+        assert val is None and test is None
+        x, _ = next(iter(train))
+        assert x.shape == (8, 16, 16, ch)
+
+
+def test_mnist_loader_real_idx_files(tmp_path):
+    _write_mnist_idx(tmp_path / "mnist_root")
+    cfg = Config(name="t", dataset="mnist", batch_size_train=8, img_size=28,
+                 input_channels=1,
+                 image_root_train=str(tmp_path / "mnist_root"),
+                 save_path=str(tmp_path / "%"),
+                 log_path=str(tmp_path / "%/log")).finalize()
+    train, _, _ = get_data_loader(cfg)
+    x, y = next(iter(train))
+    assert x.shape == (8, 28, 28, 1)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_hostshard_selftest():
+    from disentangle_mlp_tpu.data.pipeline import hostshard_selftest
+    hostshard_selftest(mesh=None)  # mesh unused for the host-level contract
+
+
+def test_process_local_slice():
+    from disentangle_mlp_tpu.data.pipeline import process_local_slice
+    idx = np.arange(12)
+    parts = [process_local_slice(idx, h, 4) for h in range(4)]
+    np.testing.assert_array_equal(np.concatenate(parts), idx)
+    assert all(len(p) == 3 for p in parts)
