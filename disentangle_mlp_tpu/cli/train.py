@@ -11,7 +11,7 @@ directory tree, JSON log schema, and checkpoint/eval semantics.
 from __future__ import annotations
 
 from ..config import Config, build_arg_parser
-from ..train.loop import RUNNERS
+from ..train.loop import FAMILY_DATASETS, RUNNERS, run_family
 
 
 def main(argv=None) -> None:
@@ -22,11 +22,12 @@ def main(argv=None) -> None:
     model = ns.model
     kwargs = {k: v for k, v in vars(ns).items() if k != "model"}
     cfg = Config(**kwargs).finalize()
+    runner = run_family if cfg.dataset in FAMILY_DATASETS else RUNNERS[model]
 
     from ..utils.runtime import setup, teardown
     setup(cfg.profile_dir)
     try:
-        RUNNERS[model](cfg)
+        runner(cfg)
     finally:
         teardown(cfg.profile_dir)
 

@@ -106,6 +106,10 @@ class Config:
     # behaviour; rotation was the intent of its scratch prototype,
     # experiments/test.py:343-345).
     keep_checkpoints: int = 0
+    # torchvision resnet18 checkpoint for the birds encoder (the reference
+    # uses resnet18(pretrained=True), models/model.py:19; no egress here,
+    # so the file must be on disk — converted by models/resnet.py).
+    resnet18_ckpt: str = ""
     # Route big dense layers through the experimental Pallas fused matmul
     # (ops/pallas/matmul_fused.py). Measured slower than XLA on v5e for the
     # reference shapes — off by default; see the kernel docstring.
@@ -226,6 +230,7 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_data", type=str2bool, default=d.synthetic_data)
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
+    p.add_argument("--resnet18_ckpt", type=str, default=d.resnet18_ckpt)
     p.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     return p

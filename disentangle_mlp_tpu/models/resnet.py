@@ -3,15 +3,20 @@
 The reference's birds encoder wraps torchvision's pretrained resnet18
 (reference: models/model.py:16-21). Pretrained ImageNet weights require
 network access; this is the architecture, randomly initialized by default,
-with a ``load_torch_state_dict`` hook for machines that have a torchvision
-resnet18 checkpoint on disk. Returns the 512-d global-average-pooled
-features (the layer the reference taps after replacing avgpool,
-model.py:20-21).
+plus :func:`load_torch_state_dict` / :func:`load_torch_checkpoint` which
+convert a torchvision ``resnet18().state_dict()`` on disk into the flax
+variable tree (OIHW→HWIO kernels, BN params + running stats — the same
+mapping scheme as the Inception converter, eval/inception.py). Returns the
+512-d global-average-pooled features (the layer the reference taps after
+replacing avgpool, model.py:20-21).
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+import os
+from typing import Any, Dict, Sequence
+
+import numpy as np
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -71,3 +76,79 @@ class ResNet18Features(nn.Module):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = BasicBlock(width, stride, dtype=self.dtype)(x, train)
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+def _np(t) -> np.ndarray:
+    """torch.Tensor or ndarray → float32 ndarray (no torch import needed)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _convbn_from_torch(sd: Dict, conv_key: str, bn_key: str):
+    """One torch (Conv2d, BatchNorm2d) pair → ConvBN variables: kernel
+    OIHW→HWIO; BN weight/bias→scale/bias, running stats→batch_stats."""
+    params = {
+        "Conv_0": {"kernel": _np(sd[f"{conv_key}.weight"]).transpose(2, 3, 1, 0)},
+        "BatchNorm_0": {"scale": _np(sd[f"{bn_key}.weight"]),
+                        "bias": _np(sd[f"{bn_key}.bias"])},
+    }
+    stats = {
+        "BatchNorm_0": {"mean": _np(sd[f"{bn_key}.running_mean"]),
+                        "var": _np(sd[f"{bn_key}.running_var"])},
+    }
+    return params, stats
+
+
+def load_torch_state_dict(sd: Dict) -> Dict:
+    """torchvision ``resnet18().state_dict()`` → flax variables
+    {'params', 'batch_stats'} for :class:`ResNet18Features`.
+
+    Key layout (compact auto-naming): the stem is ``ConvBN_0``; torch
+    ``layer{L}.{b}`` is ``BasicBlock_{2(L−1)+b}`` whose conv1/conv2 are
+    ``ConvBN_0``/``ConvBN_1`` and whose ``downsample.{0,1}`` (present in
+    layer{2,3,4}.0) is ``ConvBN_2``. The classifier ``fc.*`` is dropped —
+    the reference replaces it with Identity (models/model.py:20-21)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(name, pair):
+        p, s = pair
+        params[name] = p
+        stats[name] = s
+
+    put("ConvBN_0", _convbn_from_torch(sd, "conv1", "bn1"))
+    for layer in range(1, 5):
+        for b in range(2):
+            idx = 2 * (layer - 1) + b
+            block_p: Dict[str, Any] = {}
+            block_s: Dict[str, Any] = {}
+            for i, (c, bn) in enumerate(
+                    [("conv1", "bn1"), ("conv2", "bn2")]):
+                p, s = _convbn_from_torch(
+                    sd, f"layer{layer}.{b}.{c}", f"layer{layer}.{b}.{bn}")
+                block_p[f"ConvBN_{i}"] = p
+                block_s[f"ConvBN_{i}"] = s
+            if f"layer{layer}.{b}.downsample.0.weight" in sd:
+                p, s = _convbn_from_torch(
+                    sd, f"layer{layer}.{b}.downsample.0",
+                    f"layer{layer}.{b}.downsample.1")
+                block_p["ConvBN_2"] = p
+                block_s["ConvBN_2"] = s
+            params[f"BasicBlock_{idx}"] = block_p
+            stats[f"BasicBlock_{idx}"] = block_s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str):
+    """Load a torchvision resnet18 checkpoint file into flax variables,
+    or return None when the file is absent (no network egress here — the
+    reference downloads pretrained=True, models/model.py:19)."""
+    if not path or not os.path.isfile(path):
+        return None
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return load_torch_state_dict(sd)

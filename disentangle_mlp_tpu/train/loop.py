@@ -318,5 +318,69 @@ def _eval_sweep(cfg: Config, template_states: Dict, decode_fn,
             print("Generated samples")
 
 
+def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
+    """Smoke-level train loop for the birds/mnist model families (the
+    reference defines the models but never trains them — SURVEY.md C8/C9).
+    Train loader only (reference get_data_loader returns None val/test for
+    these datasets, dataset.py:23-24,34-35)."""
+    from .families import create_family_experiment
+
+    logger = logger or Logger(cfg.log_path, cfg)
+    rng = jax.random.key(cfg.seed)
+    exp = create_family_experiment(cfg, rng)
+    mesh, train_sharding = _setup_parallel(cfg)
+    if mesh is not None:
+        exp.eg_state = replicate(exp.eg_state, mesh)
+        exp.d_state = replicate(exp.d_state, mesh)
+    train_loader, _, _ = get_data_loader(cfg, sharding=train_sharding)
+
+    def decode_fn(z):
+        return exp.decode(exp.eg_state, z)
+
+    start_epoch = 0
+    if cfg.load_path and len(cfg.load_path) < 2:
+        start_epoch, states = load_checkpoint(
+            cfg.load_path[0], {"eg": exp.eg_state, "d": exp.d_state})
+        exp.eg_state, exp.d_state = states["eg"], states["d"]
+        if mesh is not None:
+            exp.eg_state = replicate(exp.eg_state, mesh)
+            exp.d_state = replicate(exp.d_state, mesh)
+
+    meter = Throughput()
+    ckpt = AsyncCheckpointer()
+    last = {}
+    if cfg.to_train:
+        for epoch in range(start_epoch, cfg.epochs):
+            step_rng = jax.random.fold_in(rng, epoch)
+            total = None
+            for i, (x, _) in enumerate(train_loader):
+                exp.eg_state, exp.d_state, m = exp.train_step(
+                    exp.eg_state, exp.d_state, x,
+                    jax.random.fold_in(step_rng, i))
+                total = m["loss"] if total is None else total + m["loss"]
+                meter.add(x.shape[0])
+            avg_loss = float(total) / train_loader.dataset_size
+            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                      {"eg": exp.eg_state, "d": exp.d_state})
+            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+            # FID needs 3-channel samples and z_dim == n_hidden; only the
+            # birds generator satisfies both.
+            fid = (_maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
+                   if cfg.dataset == "birds" else "N/A")
+            print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
+                  f"FID: {fid} ({meter.rate():.1f} img/s)")
+            logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
+            last = {"Avg Loss": avg_loss, "FID": fid}
+
+    ckpt.wait()
+    last["images_per_sec"] = meter.rate()
+    return last
+
+
 RUNNERS = {"vae": run_vae, "gan": run_gan,
            "betavaegan": run_vaegan, "vaegan": run_vaegan}
+
+# birds/mnist route to their model family regardless of --model (the
+# celebA experiment archs are dataset-specific; reference model.py keeps
+# one family per dataset).
+FAMILY_DATASETS = ("birds", "mnist")
