@@ -21,22 +21,45 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # torch.nn.BCELoss clamps each log term at -100 for p → 0/1 stability.
 _LOG_CLAMP = -100.0
 
 
-def bce(probs: jax.Array, targets: jax.Array) -> jax.Array:
-    """Binary cross entropy on probabilities, mean reduction (torch BCELoss).
+_F32_TINY = float(np.finfo(np.float32).tiny)
 
-    Probabilities are clipped before the log so the VJP stays finite at
-    p ∈ {0, 1} (clamping log *values* alone leaves a 0·inf = NaN gradient).
-    Prefer :func:`bce_logits` inside training steps."""
-    probs = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
+
+def _log_clamped(x: jax.Array) -> jax.Array:
+    """log(x) with torch BCELoss's value clamp max(log x, −100) and a
+    finite VJP at x = 0. Every normal float32 has log ≥ −87.34, so the
+    −100 branch fires only for x = 0 (and TPU-flushed denormals) — exactly
+    the inputs where torch returns −100."""
+    safe = jnp.log(jnp.maximum(x, _F32_TINY))  # grad 0 where the max clamps
+    return jnp.where(x < _F32_TINY, jnp.float32(_LOG_CLAMP), safe)
+
+
+def _log1m_clamped(p: jax.Array) -> jax.Array:
+    """log(1−p) with the same −100 clamp at p = 1 and a finite VJP there.
+    Split at 0.5: below, log1p is accurate for small p; above, 1−p is an
+    EXACT float32 subtraction (Sterbenz), so _log_clamped handles the p = 1
+    endpoint. Each branch's input is clamped into its own safe range so the
+    untaken branch cannot inject inf into the VJP (0·inf = NaN)."""
+    small = jnp.log1p(-jnp.minimum(p, 0.5))
+    large = _log_clamped(1.0 - jnp.maximum(p, 0.5))
+    return jnp.where(p > 0.5, large, small)
+
+
+def bce(probs: jax.Array, targets: jax.Array) -> jax.Array:
+    """Binary cross entropy on probabilities, mean reduction — value-exact
+    vs torch.nn.BCELoss over the float32 domain, including the p ∈ {0, 1}
+    endpoints where torch clamps each log term at −100. The VJP is finite
+    everywhere (zero where a clamp is active). Prefer :func:`bce_logits`
+    inside training steps (bounded gradients under saturation)."""
+    probs = probs.astype(jnp.float32)
     targets = jnp.broadcast_to(jnp.asarray(targets, jnp.float32), probs.shape)
-    log_p = jnp.maximum(jnp.log(probs), _LOG_CLAMP)
-    log_1mp = jnp.maximum(jnp.log1p(-probs), _LOG_CLAMP)
-    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+    return -jnp.mean(targets * _log_clamped(probs)
+                     + (1.0 - targets) * _log1m_clamped(probs))
 
 
 def bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:

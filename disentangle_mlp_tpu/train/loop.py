@@ -50,13 +50,17 @@ def _setup_parallel(cfg: Config):
 
 class Throughput:
     """images/sec meter — the north-star perf metric (BASELINE.json).
-    The first ``warmup`` batches (XLA compilation) are excluded."""
+    The first ``warmup`` batches (XLA compilation) are excluded, and the
+    loops pause() the clock around non-train work (FID scoring, checkpoint
+    writes) so the logged rate measures the same thing bench.py does."""
 
     def __init__(self, warmup: int = 1):
         self.images = 0
         self.batches = 0
         self.warmup = warmup
         self.start = None
+        self._excluded = 0.0
+        self._paused_at = None
 
     def add(self, n: int):
         self.batches += 1
@@ -65,17 +69,29 @@ class Throughput:
             return
         self.images += n
 
+    def pause(self):
+        if self.start is not None and self._paused_at is None:
+            self._paused_at = time.perf_counter()
+
+    def resume(self):
+        if self._paused_at is not None:
+            self._excluded += time.perf_counter() - self._paused_at
+            self._paused_at = None
+
     def rate(self) -> float:
         if self.start is None:
             return 0.0
-        dt = time.perf_counter() - self.start
+        end = self._paused_at or time.perf_counter()
+        dt = end - self.start - self._excluded
         return self.images / dt if dt > 0 else 0.0
 
 
 def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str):
     """FID over cfg.n_samples generated samples vs the precomputed stats
     (reference: new_betavaegan.py:230-235). Returns 'N/A' when disabled or
-    when no usable Inception weights / reference stats are present."""
+    when the reference-statistics asset is absent/unreadable — ONLY those
+    conditions; a programming error in the FID stack re-raises (round-1
+    review: the bare except hid real bugs behind 'N/A')."""
     if not cfg.calc_fid:
         return "N/A"
     try:
@@ -84,8 +100,8 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str):
             decode_fn, epoch, cfg.n_samples, cfg.n_hidden, path,
             rng_seed=cfg.seed + epoch)
         return get_fid_from_samples(samples, cfg.fid_path_pretrained)
-    except Exception as e:  # missing stats/weights must not kill training
-        print(f"[fid] skipped: {e}")
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError) as e:
+        print(f"[fid] skipped: {e}")  # missing assets must not kill training
         return "N/A"
 
 
@@ -115,6 +131,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
+            meter.resume()
             step_rng = jax.random.fold_in(rng, epoch)
             # metrics accumulate ON DEVICE; fetching them per step would
             # force a host sync every batch (expensive over a TPU tunnel).
@@ -130,6 +147,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                     print(f"Train Epoch: {epoch} [{i}/{len(train_loader)}] "
                           f"Loss: {float(m['loss']) / x.shape[0]:.6f}")
             avg_loss = float(total_loss) / train_loader.dataset_size
+            meter.pause()  # FID/checkpoint wall time is not train time
             ckpt.save(f"{cfg.model_path}/model_{epoch + 1}",
                       epoch + 1, {"model": exp.state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
@@ -180,6 +198,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
+            meter.resume()
             sum_g, sum_d = None, None
             step_rng = jax.random.fold_in(rng, epoch)
             for i, (x, _) in enumerate(train_loader):
@@ -198,6 +217,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           f"{float(m['D_G_z2']):.4f}")
             n = train_loader.dataset_size
             avg_g, avg_d = float(sum_g) / n, float(sum_d) / n
+            meter.pause()
             ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                       {"g": exp.g_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
@@ -250,6 +270,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
+            meter.resume()
             sums = None
             step_rng = jax.random.fold_in(rng, epoch)
             for i, (x, _) in enumerate(train_loader):
@@ -265,6 +286,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             enc_l, dec_l = float(sums["recon_enc"]) / n, \
                 float(sums["recon_dec"]) / n
             dis_l, d_x = float(sums["dis"]) / n, float(sums["D_x"]) / n
+            meter.pause()
             ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                       {"eg": exp.eg_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
@@ -351,6 +373,7 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
+            meter.resume()
             step_rng = jax.random.fold_in(rng, epoch)
             total = None
             for i, (x, _) in enumerate(train_loader):
@@ -360,6 +383,7 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                 total = m["loss"] if total is None else total + m["loss"]
                 meter.add(x.shape[0])
             avg_loss = float(total) / train_loader.dataset_size
+            meter.pause()
             ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                       {"eg": exp.eg_state, "d": exp.d_state})
             rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)

@@ -22,6 +22,21 @@ def test_bce_matches_torch():
         assert abs(ours - theirs) < 1e-5
 
 
+def test_bce_matches_torch_full_domain():
+    """Value parity down to the p ∈ {0, 1} endpoints, where torch clamps
+    each log term at −100 (the round-1 deviation: a 1e-7 prob clip capped
+    the value at ≈16.1 instead of torch's 100)."""
+    # smallest NORMAL f32 upward: denormals are flushed to zero on TPU, so
+    # they are documented as clamping to −100 (losses.py _log_clamped)
+    p = np.array([0.0, np.finfo(np.float32).tiny, 1e-30, 1e-20, 1e-10,
+                  1e-7, 1e-4, 0.5, 1 - 1e-4, 1 - 1e-7, 1.0], np.float32)
+    for target in (0.0, 0.1, 0.9, 1.0):
+        ours = float(bce(jnp.asarray(p), target))
+        theirs = float(F.binary_cross_entropy(
+            torch.from_numpy(p), torch.full((len(p),), target)))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
 def test_bce_extreme_probs_finite_value_and_grad():
     p = jnp.asarray([0.0, 1.0, 0.5])
     assert np.isfinite(float(bce(p, 0.9)))
