@@ -1,0 +1,128 @@
+"""One-command reproduction of the reference's headline quality number.
+
+Build target (BASELINE.md; reference results/logs/log_beta_vaegan_25.json
+last entry, report Table 4): β=25 β-VAE-GAN, 10 epochs, CelebA 64×64,
+batch 256, FID over 1000 generated samples = **128.34 ± 2**, with the
+FID-pipeline calibration real-vs-real ≈ 2 (report §5.1: 50k real CelebA
+images scored against the full-dataset statistics).
+
+No CelebA images or pt_inception weights ship with this machine (zero
+egress), so the pipeline is gated on asset presence and reports exactly
+what is missing. The moment the two assets exist, the whole claim is
+testable with one command:
+
+    dmt-reproduce --name repro \
+        --image_root_train /data/celebA/train \
+        --image_root_val  /data/celebA/val \
+        --image_root_test /data/celebA/test
+
+Pipeline: (1) asset check (Inception weights, image roots); (2) build
+reference statistics from the train split (cli/stats.py's path);
+(3) real-vs-real calibration — score held-out real images against those
+statistics, expect ≈ 2; (4) train β=25 for 10 epochs with FID-in-the-loop;
+(5) verdict vs 128.34 ± 2. A synthetic mode exercises the identical
+stats→train→score→log plumbing end to end without the assets (tested by
+tests/test_reproduce.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict
+
+import numpy as np
+
+from ..config import Config
+
+FID_TARGET = 128.34   # log_beta_vaegan_25.json, epoch 10
+FID_TOLERANCE = 2.0   # BASELINE.json build-target band
+CALIBRATION_TARGET = 2.0  # report §5.1, 50k real vs full-dataset stats
+
+
+def calibration_fid(loader, stats_path: str, max_images: int) -> float:
+    """Real-vs-real: activations of up to ``max_images`` REAL images from
+    ``loader`` scored against the reference statistics at ``stats_path``.
+    ≈ 2 at the reference's 50k scale; grows as the sample count shrinks
+    (finite-sample covariance bias), so the report records the count."""
+    from .fid import (activation_statistics, frechet_distance,
+                      get_activations, load_stats_npz)
+    import jax
+
+    feats, seen = [], 0
+    for x, _ in loader:
+        batch = (np.asarray(jax.device_get(x), np.float32) + 1.0) / 2.0
+        feats.append(get_activations(batch))
+        seen += batch.shape[0]
+        if seen >= max_images:
+            break
+    mu1, s1 = activation_statistics(np.concatenate(feats)[:max_images])
+    mu2, s2 = load_stats_npz(stats_path)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def run_reproduction(cfg: Config, stats_out: str,
+                     stats_images: int = 50000,
+                     calib_images: int = 50000,
+                     skip_train: bool = False,
+                     report_out: str = "") -> Dict:
+    """Execute the full reproduction pipeline; returns (and optionally
+    writes) the report dict."""
+    from ..data.pipeline import get_data_loader
+    from ..eval.fid import compute_dataset_statistics, inception_is_pretrained
+    from ..train.loop import run_vaegan
+
+    report: Dict = {
+        "target_fid": FID_TARGET, "tolerance": FID_TOLERANCE,
+        "calibration_target": CALIBRATION_TARGET,
+    }
+    report["inception_pretrained"] = bool(inception_is_pretrained())
+    if not report["inception_pretrained"]:
+        print("WARNING: no pretrained FID Inception weights on disk "
+              "(eval/inception.py WEIGHT_SEARCH_PATHS). The pipeline runs, "
+              "but scores are NOT comparable to the published 128.34.")
+
+    train, val, test = get_data_loader(cfg)
+    report["synthetic_data"] = bool(cfg.synthetic_data) or val is None
+
+    # (2) reference statistics from the train split
+    print(f"[1/3] building reference statistics → {stats_out}")
+    compute_dataset_statistics(train, path_out=stats_out,
+                               max_images=stats_images)
+    report["stats_path"] = stats_out
+    report["stats_images"] = int(min(stats_images, train.dataset_size))
+
+    # (3) real-vs-real calibration on held-out real images
+    calib_loader = val or test or train
+    n_calib = int(min(calib_images, calib_loader.dataset_size))
+    print(f"[2/3] real-vs-real calibration over {n_calib} images")
+    report["calibration_fid"] = calibration_fid(
+        calib_loader, stats_out, n_calib)
+    report["calibration_images"] = n_calib
+    print(f"      real-vs-real FID = {report['calibration_fid']:.3f} "
+          f"(reference ≈ {CALIBRATION_TARGET} at 50k)")
+
+    # (4) the β=25 run with FID-in-the-loop against the fresh statistics
+    if not skip_train:
+        print(f"[3/3] training β={cfg.beta} for {cfg.epochs} epochs")
+        run_cfg = dataclasses.replace(
+            cfg, calc_fid=True, fid_path_pretrained=stats_out)
+        last = run_vaegan(run_cfg)
+        report["final_fid"] = last.get("FID", "N/A")
+        report["images_per_sec"] = last.get("images_per_sec")
+        if isinstance(report["final_fid"], (int, float)):
+            report["within_tolerance"] = bool(
+                abs(report["final_fid"] - FID_TARGET) <= FID_TOLERANCE
+            ) and report["inception_pretrained"]
+            print(f"FID = {report['final_fid']:.2f} vs target "
+                  f"{FID_TARGET} ± {FID_TOLERANCE} → "
+                  f"{'WITHIN' if report['within_tolerance'] else 'OUTSIDE'}"
+                  " tolerance"
+                  + ("" if report["inception_pretrained"] else
+                     " (random Inception weights — not comparable)"))
+
+    if report_out:
+        with open(report_out, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+        print(f"report → {report_out}")
+    return report

@@ -1,0 +1,56 @@
+"""End-to-end plumbing test for the FID reproduction harness: the full
+stats → calibration → train(FID-in-the-loop) → report path on synthetic
+data with self-built statistics (VERDICT round 1 item 3 — without assets,
+the pipeline itself must be proven)."""
+
+import json
+
+from disentangle_mlp_tpu.config import Config
+from disentangle_mlp_tpu.eval.reproduce import run_reproduction
+
+
+def test_reproduction_pipeline_synthetic(tmp_path):
+    cfg = Config(
+        name="repro_t", beta=25.0, epochs=1, synthetic_data=True,
+        synthetic_train_size=32, batch_size_train=16, batch_size_val=16,
+        batch_size_test=4, n_samples=8, n_hidden=8, img_size=32,
+        n_z=[8, 4, 4], representation_size=4, head_width=32,
+        decoder_channels=[8, 8, 8], disc_channels=[4, 8, 8, 8],
+        disc_feature_dim=32, dtype="float32", calc_fid=True,
+        save_path=str(tmp_path / "%"),
+        log_path=str(tmp_path / "%/log")).finalize()
+    stats = str(tmp_path / "stats.npz")
+    report_path = str(tmp_path / "report.json")
+
+    report = run_reproduction(cfg, stats, stats_images=32, calib_images=32,
+                              report_out=report_path)
+
+    # stats were built and consumed
+    assert report["stats_path"] == stats
+    assert (tmp_path / "stats.npz").is_file()
+    # calibration ran on real(-loader) images and produced a finite number
+    assert isinstance(report["calibration_fid"], float)
+    assert report["calibration_fid"] >= 0.0
+    # training scored FID against the fresh stats (not 'N/A': stats exist)
+    assert isinstance(report["final_fid"], float), report["final_fid"]
+    assert report["final_fid"] >= 0.0
+    # verdict fields present; random-weight Inception can never claim parity
+    assert report["inception_pretrained"] is False
+    assert report["within_tolerance"] is False
+    assert report["target_fid"] == 128.34
+    # the report is valid JSON on disk
+    with open(report_path) as f:
+        assert json.load(f)["stats_images"] == 32
+
+
+def test_reproduction_skip_train(tmp_path):
+    cfg = Config(
+        name="repro_s", synthetic_data=True, synthetic_train_size=16,
+        batch_size_train=8, batch_size_val=8, batch_size_test=4,
+        img_size=32, save_path=str(tmp_path / "%"),
+        log_path=str(tmp_path / "%/log")).finalize()
+    stats = str(tmp_path / "stats.npz")
+    report = run_reproduction(cfg, stats, stats_images=16, calib_images=16,
+                              skip_train=True)
+    assert "final_fid" not in report
+    assert (tmp_path / "stats.npz").is_file()
