@@ -62,19 +62,6 @@ def apply_updates(state: ModelState, grads,
     )
 
 
-def mask_grads_by_submodule(grads, keep: str):
-    """Zero all gradients except those under the top-level submodule ``keep``.
-
-    Implements the *intent* of the reference's requires_grad freezing
-    (new_betavaegan.py:131-143,169-180), which is a no-op in the reference
-    (set on Module attributes, not Parameters). Used when
-    Config.freeze_mode == 'intent'."""
-    return type(grads)({
-        k: (v if k == keep else jax.tree.map(jnp.zeros_like, v))
-        for k, v in grads.items()
-    })
-
-
 def sample_labels(rng: jax.Array) -> Dict[str, jax.Array]:
     """Stochastic label smoothing/flipping, one draw per batch:
     real ∈ {0.1, 0.9} w.p. {0.05, 0.95}, fake mirrored

@@ -28,8 +28,14 @@ freeze_mode:
   reference's requires_grad "freezing" (new_betavaegan.py:131-143,169-180)
   is set on Module attributes, not Parameters, and is therefore a no-op;
   the published FID numbers were produced by this behaviour.
-- 'intent': gradients are masked to the decoder in phase 2 and the encoder
-  in phase 3, the stated intent of those lines.
+- 'intent': true torch-freeze semantics of the stated intent of those
+  lines — phase 2 differentiates and Adam-steps ONLY the decoder subtree,
+  phase 3 only the encoder (torch params with requires_grad=False get
+  grad=None and are skipped by torch.optim.Adam entirely: no moment decay,
+  no step-count advance). The EG optimizer state is a
+  {"dec": ..., "enc": ...} pair of independent Adam states, and the frozen
+  side's backward is never computed — substantially cheaper per step than
+  'observed' as well as more faithful to the intent.
 
 Learning rate: the reference hardcodes Adam(lr=1e-3) at
 new_betavaegan.py:49-50, but every published run was trained with lr=3e-4
@@ -44,13 +50,14 @@ from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import Config
 from ..models.gan import DiscriminatorCeleba
 from ..models.vae import VAE
 from ..ops.losses import bce_logits, kld, reconstruction_loss, sim_loss
 from .common import (ModelState, apply_updates, init_model_state, make_adam,
-                     mask_grads_by_submodule, sample_labels)
+                     sample_labels)
 
 
 @dataclasses.dataclass
@@ -91,6 +98,14 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
     )
     eg_state = init_model_state(vae, rng_eg, x_sample, tx_eg, train=True)
     d_state = init_model_state(discriminator, rng_d, x_sample, tx_d, train=True)
+    if intent:
+        # independent per-subtree Adam states (torch: frozen params have
+        # grad None and are skipped; each param's state advances only when
+        # its phase trains it)
+        eg_state = eg_state.replace(opt_state={
+            "dec": tx_eg.init(eg_state.params["decoder"]),
+            "enc": tx_eg.init(eg_state.params["encoder"]),
+        })
 
     def d_apply(params, stats, x):
         # logits out: bounded BCE gradients even when D saturates
@@ -162,13 +177,28 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
                           "d_stats": d_mut2["batch_stats"],
                           "sim": s_loss, "recon": r_loss}
 
-        (_, dec_aux), dec_grads = jax.value_and_grad(dec_loss_fn, has_aux=True)(
-            eg_state.params)
         if intent:
-            dec_grads = mask_grads_by_submodule(dec_grads, keep="decoder")
+            # differentiate ONLY the decoder subtree: the encoder backward
+            # is never built (torch-freeze semantics + compute saving)
+            def dec_loss_sub(dec_params):
+                return dec_loss_fn({**eg_state.params, "decoder": dec_params})
+            (_, dec_aux), sub_grads = jax.value_and_grad(
+                dec_loss_sub, has_aux=True)(eg_state.params["decoder"])
+            updates, new_dec_opt = tx_eg.update(
+                sub_grads, eg_state.opt_state["dec"],
+                eg_state.params["decoder"])
+            new_params = dict(eg_state.params)
+            new_params["decoder"] = optax.apply_updates(
+                eg_state.params["decoder"], updates)
+            eg_state = ModelState(
+                params=new_params, batch_stats=dec_aux["eg_stats"],
+                opt_state={**eg_state.opt_state, "dec": new_dec_opt})
+        else:
+            (_, dec_aux), dec_grads = jax.value_and_grad(
+                dec_loss_fn, has_aux=True)(eg_state.params)
+            eg_state = apply_updates(eg_state, dec_grads, tx_eg,
+                                     new_batch_stats=dec_aux["eg_stats"])
         d_state = d_state.replace(batch_stats=dec_aux["d_stats"])
-        eg_state = apply_updates(eg_state, dec_grads, tx_eg,
-                                 new_batch_stats=dec_aux["eg_stats"])
 
         # ---------------- (3) Encoder ------------------------------------
         def enc_loss_fn(eg_params):
@@ -179,12 +209,25 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
             return k_loss + r_loss, {"eg_stats": mut["batch_stats"],
                                      "kld": k_loss, "recon": r_loss}
 
-        (_, enc_aux), enc_grads = jax.value_and_grad(enc_loss_fn, has_aux=True)(
-            eg_state.params)
         if intent:
-            enc_grads = mask_grads_by_submodule(enc_grads, keep="encoder")
-        eg_state = apply_updates(eg_state, enc_grads, tx_eg,
-                                 new_batch_stats=enc_aux["eg_stats"])
+            def enc_loss_sub(enc_params):
+                return enc_loss_fn({**eg_state.params, "encoder": enc_params})
+            (_, enc_aux), sub_grads = jax.value_and_grad(
+                enc_loss_sub, has_aux=True)(eg_state.params["encoder"])
+            updates, new_enc_opt = tx_eg.update(
+                sub_grads, eg_state.opt_state["enc"],
+                eg_state.params["encoder"])
+            new_params = dict(eg_state.params)
+            new_params["encoder"] = optax.apply_updates(
+                eg_state.params["encoder"], updates)
+            eg_state = ModelState(
+                params=new_params, batch_stats=enc_aux["eg_stats"],
+                opt_state={**eg_state.opt_state, "enc": new_enc_opt})
+        else:
+            (_, enc_aux), enc_grads = jax.value_and_grad(
+                enc_loss_fn, has_aux=True)(eg_state.params)
+            eg_state = apply_updates(eg_state, enc_grads, tx_eg,
+                                     new_batch_stats=enc_aux["eg_stats"])
 
         # Metric semantics follow the reference loop: both "enc" and "dec"
         # running losses accumulate the encoder-phase pixel MSE

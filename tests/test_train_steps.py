@@ -106,3 +106,39 @@ def test_vaegan_reproducible(batch):
                                jax.random.key(10))
     assert float(m1["recon_enc"]) == float(m2["recon_enc"])
     assert float(m1["kld"]) == float(m2["kld"])
+
+
+def test_vaegan_intent_true_freeze_semantics(batch, tmp_path):
+    """'intent' keeps independent per-subtree Adam states (torch
+    requires_grad=False semantics: frozen params are skipped entirely) and
+    the state round-trips through a checkpoint."""
+    import optax
+
+    from disentangle_mlp_tpu.utils.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+
+    cfg = tiny_cfg(beta=25.0, freeze_mode="intent")
+    exp = create_vaegan_experiment(cfg, jax.random.key(3))
+    assert set(exp.eg_state.opt_state.keys()) == {"dec", "enc"}
+
+    eg, d, m = exp.train_step(exp.eg_state, exp.d_state, batch,
+                              jax.random.key(4))
+    eg, d, m = exp.train_step(eg, d, batch, jax.random.key(5))
+    # each subtree's Adam advanced once per step, independently
+    dec_count = eg.opt_state["dec"][0].count
+    enc_count = eg.opt_state["enc"][0].count
+    assert int(dec_count) == 2 and int(enc_count) == 2
+    # moments exist only for the matching subtree
+    assert set(eg.opt_state["dec"][0].mu.keys()) == \
+        set(exp.eg_state.params["decoder"].keys())
+
+    path = str(tmp_path / "ckpt_intent")
+    save_checkpoint(path, 1, {"eg": eg, "d": d})
+    exp2 = create_vaegan_experiment(cfg, jax.random.key(3))
+    epoch, states = load_checkpoint(path, {"eg": exp2.eg_state,
+                                           "d": exp2.d_state})
+    import numpy as np
+    got = jax.tree_util.tree_leaves(states["eg"].opt_state["enc"][0].mu)
+    want = jax.tree_util.tree_leaves(eg.opt_state["enc"][0].mu)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
