@@ -27,9 +27,12 @@ def __getattr__(name):
     if name in ("Config", "EnvSetter", "config_from_args"):
         from . import config
         return getattr(config, name)
-    if name in ("run_vae", "run_gan", "run_vaegan", "RUNNERS"):
+    if name in ("run_vae", "run_gan", "run_vaegan", "run_family", "RUNNERS"):
         from .train import loop
         return getattr(loop, name)
+    if name == "run_reproduction":
+        from .eval.reproduce import run_reproduction
+        return run_reproduction
     if name in ("get_fid", "get_fid_from_samples", "frechet_distance"):
         from .eval import fid
         return getattr(fid, name)

@@ -89,7 +89,8 @@ class Config:
     # 'observed' reproduces the reference's logged behaviour: the no-op
     # requires_grad freezing (new_betavaegan.py:131-143,169-180) means both
     # decoder- and encoder-phase updates step ALL VAE parameters. 'intent'
-    # masks gradients to the stated sub-network per phase.
+    # trains only the stated sub-network per phase with true torch-freeze
+    # semantics (train/vaegan.py docstring).
     freeze_mode: str = "observed"
     # Compute dtype for model forward/backward ('bfloat16' or 'float32').
     # Params and optimizer state are always float32.
@@ -110,10 +111,6 @@ class Config:
     # uses resnet18(pretrained=True), models/model.py:19; no egress here,
     # so the file must be on disk — converted by models/resnet.py).
     resnet18_ckpt: str = ""
-    # Route big dense layers through the experimental Pallas fused matmul
-    # (ops/pallas/matmul_fused.py). Measured slower than XLA on v5e for the
-    # reference shapes — off by default; see the kernel docstring.
-    use_pallas: bool = False
 
     # --- derived output paths (filled by finalize()) ---------------------
     model_path: str = ""
@@ -231,7 +228,6 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--resnet18_ckpt", type=str, default=d.resnet18_ckpt)
-    p.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     return p
 

@@ -53,14 +53,29 @@ def inception_is_pretrained() -> bool:
     return _jitted_features()[1]
 
 
-def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH
-                    ) -> np.ndarray:
+def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
+                    shard: bool = True) -> np.ndarray:
     """NHWC float images in [0,1] → (N, 2048) activations, batched through
     one fixed-shape jitted program (padding the tail batch — static shapes
-    keep XLA from recompiling per remainder)."""
+    keep XLA from recompiling per remainder).
+
+    With ``shard=True`` and multiple visible devices, each chunk is placed
+    batch-sharded on a 1-D data mesh so the Inception forward runs
+    data-parallel across all chips (round-1 roadmap: 1000 images ≈ 4 s on
+    one chip). The chunk size is rounded up to a device multiple; scores
+    are unchanged (tests/test_fid.py asserts sharded ≡ unsharded)."""
     run, _ = _jitted_features()
     n = images01.shape[0]
     batch_size = min(batch_size, n)
+
+    put = jnp.asarray
+    if shard and len(jax.devices()) > 1:
+        from ..parallel.mesh import batch_sharding, make_mesh
+        sharding = batch_sharding(make_mesh())
+        n_dev = len(jax.devices())
+        batch_size = -(-batch_size // n_dev) * n_dev
+        put = lambda c: jax.device_put(c, sharding)
+
     out = np.empty((n, FEATURE_DIM), np.float32)
     for start in range(0, n, batch_size):
         chunk = images01[start:start + batch_size]
@@ -68,7 +83,7 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH
         if pad:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        acts = np.asarray(run(jnp.asarray(chunk)))
+        acts = np.asarray(run(put(chunk)))
         out[start:start + batch_size - pad] = acts[:batch_size - pad]
     return out
 

@@ -38,7 +38,6 @@ class DiscriminatorCeleba(nn.Module):
     feature_dim: int = 2048
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
-    use_pallas: bool = False
 
     def setup(self):
         dt = self.dtype
@@ -48,8 +47,7 @@ class DiscriminatorCeleba(nn.Module):
         self.conv2, self.bn2 = TorchConv(c2, 5, stride=2, padding=2, dtype=dt), bn()
         self.conv3, self.bn3 = TorchConv(c3, 5, stride=2, padding=2, dtype=dt), bn()
         self.conv4, self.bn4 = TorchConv(c4, 5, stride=2, padding=2, dtype=dt), bn()
-        self.lth_features = TorchLinear(self.feature_dim, dtype=dt,
-                                        use_pallas=self.use_pallas)
+        self.lth_features = TorchLinear(self.feature_dim, dtype=dt)
         self.sigmoid_output = TorchLinear(1, dtype=dt)
 
     def __call__(self, x: jax.Array, train: bool = True,

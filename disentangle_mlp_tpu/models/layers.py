@@ -140,16 +140,11 @@ class TorchConvTranspose(nn.Module):
 
 class TorchLinear(nn.Module):
     """Dense layer with PyTorch's default init (weights_init leaves Linear
-    untouched in the reference, models/model.py:8-13).
-
-    ``use_pallas`` routes the forward through the fused Pallas matmul
-    kernel (ops/pallas/matmul_fused.py) — opt-in via Config.use_pallas;
-    XLA's native lowering remains the default."""
+    untouched in the reference, models/model.py:8-13)."""
 
     features: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -159,10 +154,6 @@ class TorchLinear(nn.Module):
         )
         bias = (self.param("bias", torch_uniform_init(in_f), (self.features,))
                 if self.use_bias else None)
-        if self.use_pallas and x.ndim == 2:
-            from ..ops.pallas.matmul_fused import fused_linear
-            return fused_linear(x, kernel, bias, activation="none",
-                                out_dtype=self.dtype)
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if bias is not None:
             y = y + bias.astype(y.dtype)

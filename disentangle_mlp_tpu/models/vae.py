@@ -47,13 +47,12 @@ class CelebaEncoder(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
-    use_pallas: bool = False
 
     def setup(self):
         rs, dt = self.representation_size, self.dtype
         conv = lambda ch: TorchConv(ch, 5, stride=2, padding=2, dtype=dt)
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
-        lin = lambda f: TorchLinear(f, dtype=dt, use_pallas=self.use_pallas)
+        lin = lambda f: TorchLinear(f, dtype=dt)
         self.conv1, self.bn1 = conv(rs), bn()
         self.conv2, self.bn2 = conv(rs * 2), bn()
         self.conv3, self.bn3 = conv(rs * 4), bn()
@@ -85,7 +84,6 @@ class CelebaDecoder(nn.Module):
     output_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
-    use_pallas: bool = False
 
     def setup(self):
         dt = self.dtype
@@ -93,8 +91,7 @@ class CelebaDecoder(nn.Module):
         c1, c2, c3 = self.channels
         self._reshape_to = (h, w, ch)
         bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
-        self.preprocess = TorchLinear(ch * h * w, dtype=dt,
-                                      use_pallas=self.use_pallas)
+        self.preprocess = TorchLinear(ch * h * w, dtype=dt)
         self.pre_bn = bn()
         dconv = lambda c, s, op: TorchConvTranspose(
             c, 5, stride=s, padding=2, output_padding=op, dtype=dt)
@@ -128,7 +125,6 @@ class VAE(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
-    use_pallas: bool = False
 
     def setup(self):
         self.encoder = CelebaEncoder(
@@ -138,7 +134,6 @@ class VAE(nn.Module):
             input_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
-            use_pallas=self.use_pallas,
         )
         self.decoder = CelebaDecoder(
             n_hidden=self.n_hidden,
@@ -147,7 +142,6 @@ class VAE(nn.Module):
             output_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
-            use_pallas=self.use_pallas,
         )
 
     def encode(self, x: jax.Array, train: bool = True):

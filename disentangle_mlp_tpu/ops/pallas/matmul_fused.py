@@ -10,7 +10,8 @@ makes an extra HBM round trip.
 Grid is (M/TM, N/TN, K/TK) with the K axis innermost; the accumulator is
 zeroed at k==0 and the epilogue fires at the last K tile — the canonical
 Pallas accumulation pattern. Shapes are padded to tile multiples by the
-wrapper. Opt-in (Config.use_pallas): XLA's own fusion is strong for these
+wrapper. EXAMPLE ONLY — not wired into any model or Config flag: XLA's
+own fusion is strong for these
 shapes, so the kernel must win on-silicon before becoming the default.
 
 MEASURED (v5e via axon, 2026-08-16, M=256 K=16384 N=2048 bf16): this kernel

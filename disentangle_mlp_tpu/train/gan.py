@@ -43,13 +43,11 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
         n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
         channels=tuple(cfg.decoder_channels),
         output_channels=cfg.input_channels, dtype=dtype,
-        use_pallas=cfg.use_pallas,
     )
     discriminator = DiscriminatorCeleba(
         n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
         channels=tuple(cfg.disc_channels),
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
-        use_pallas=cfg.use_pallas,
     )
     tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
 

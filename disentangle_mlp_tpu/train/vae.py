@@ -39,7 +39,6 @@ def _model_from_config(cfg: Config) -> VAE:
         decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels,
         dtype=jnp.dtype(cfg.dtype),
-        use_pallas=cfg.use_pallas,
     )
 
 

@@ -80,13 +80,11 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         head_width=cfg.head_width,
         decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels, dtype=dtype,
-        use_pallas=cfg.use_pallas,
     )
     discriminator = DiscriminatorCeleba(
         n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
         channels=tuple(cfg.disc_channels),
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
-        use_pallas=cfg.use_pallas,
     )
     tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
     beta = float(cfg.beta)

@@ -89,3 +89,26 @@ def test_get_fid_npz_and_dir(tmp_path, fake_images):
     fid_mem = get_fid_from_samples(pm1, str(tmp_path / "stats.npz"))
     assert fid_mem < 0.5
     assert abs(fid_disk - fid_mem) < 0.5
+
+
+def test_sharded_activations_match_unsharded():
+    """FID activation extraction sharded over the 8-device test mesh must
+    produce the same features as single-device (eval/fid.get_activations
+    shard=True path)."""
+    import jax
+
+    from disentangle_mlp_tpu.eval.fid import get_activations
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(0, 1, (12, 32, 32, 3)).astype(np.float32)
+    a_sharded = get_activations(imgs, batch_size=8, shard=True)
+    a_plain = get_activations(imgs, batch_size=8, shard=False)
+    # partitioned convs reassociate bf16 reductions; differences are at the
+    # bf16 quantum and vanish in the FID statistics
+    np.testing.assert_allclose(a_sharded, a_plain, rtol=0.1, atol=0.05)
+    from disentangle_mlp_tpu.eval.fid import (activation_statistics,
+                                              frechet_distance)
+    m1, s1 = activation_statistics(a_sharded)
+    m2, s2 = activation_statistics(a_plain)
+    assert frechet_distance(m1, s1, m2, s2) < 1e-2

@@ -233,3 +233,33 @@ def test_pool3_matches_torch(torch_net, tmp_path):
 
     assert ours.shape == theirs.shape == (2, 2048)
     np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
+
+
+def test_real_pt_inception_checkpoint_when_present():
+    """Gated on the real pt_inception-2015-12-05-6726825d.pth being on
+    disk (no egress in CI — round-1 review asked for a checksum-gated test
+    of the REAL checkpoint, not only the self-built torch net). Verifies
+    the file hash and that the converted params drive a finite, correctly
+    shaped pool3 forward."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from disentangle_mlp_tpu.eval.inception import (find_fid_weights,
+                                                    load_torch_fid_weights,
+                                                    pool3_features)
+
+    path = find_fid_weights()
+    if path is None:
+        pytest.skip("pt_inception weights not on disk")
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    # the mseitzer/pytorch-fid release file; '6726825d' is its prefix
+    assert digest.startswith("6726825d"), digest
+    params = load_torch_fid_weights(path)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32))
+    feats = pool3_features(params, x)
+    assert feats.shape == (2, 2048)
+    assert bool(jnp.all(jnp.isfinite(feats)))
