@@ -92,8 +92,12 @@ def run_reproduction(cfg: Config, stats_out: str,
     report["stats_path"] = stats_out
     report["stats_images"] = int(min(stats_images, train.dataset_size))
 
-    # (3) real-vs-real calibration on held-out real images
-    calib_loader = val or test or train
+    # (3) real-vs-real calibration on held-out real images; fall back to
+    # the train stream when a split is absent or smaller than its batch
+    # (drop_last would yield zero batches)
+    calib_loader = next(
+        (ld for ld in (val, test, train) if ld is not None and len(ld) > 0),
+        train)
     n_calib = int(min(calib_images, calib_loader.dataset_size))
     print(f"[2/3] real-vs-real calibration over {n_calib} images")
     report["calibration_fid"] = calibration_fid(

@@ -54,3 +54,17 @@ def test_reproduction_skip_train(tmp_path):
                               skip_train=True)
     assert "final_fid" not in report
     assert (tmp_path / "stats.npz").is_file()
+
+
+def test_reproduction_calibration_falls_back_on_empty_split(tmp_path):
+    """val split smaller than its batch size (drop_last → zero batches)
+    must not crash the calibration — it falls back to a non-empty loader."""
+    cfg = Config(
+        name="repro_e", synthetic_data=True, synthetic_train_size=16,
+        batch_size_train=8, batch_size_val=512, batch_size_test=512,
+        img_size=32, save_path=str(tmp_path / "%"),
+        log_path=str(tmp_path / "%/log")).finalize()
+    report = run_reproduction(cfg, str(tmp_path / "s.npz"),
+                              stats_images=16, calib_images=16,
+                              skip_train=True)
+    assert isinstance(report["calibration_fid"], float)
