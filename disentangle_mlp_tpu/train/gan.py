@@ -81,12 +81,18 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
             rng_noise, (batch.shape[0], cfg.n_hidden), jnp.float32)
 
         # --- (1) Update D: maximize log D(x) + log(1 - D(G(z))) ----------
-        fake, g_mut = g_apply(g_state.params, g_state.batch_stats, noise)
-        fake = jax.lax.stop_gradient(fake)
+        # G(z) runs ONCE, keeping its vjp: the G step's gradient pulls back
+        # through these residuals — the reference's retained ``fake``
+        # (new_gan.py:99-128) made literal; bit-identical to recomputing
+        # (tests/test_train_steps.py::test_gan_vjp_reuse_matches_naive).
+        (fake, g_mut), g_vjp = jax.vjp(
+            lambda p: g_apply(p, g_state.batch_stats, noise), g_state.params)
+        fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
             (l_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
-            (l_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
+            (l_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"],
+                                        fake_sg)
             err_real = bce_logits(l_real, labels["real"])
             err_fake = bce_logits(l_fake, labels["fake"])
             aux = {
@@ -103,23 +109,22 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
                                 new_batch_stats=d_aux["stats"])
 
         # --- (2) Update G: maximize log D(G(z)) with the updated D -------
-        def g_loss_fn(g_params):
-            fake_g, mut = g_apply(g_params, g_state.batch_stats, noise)
+        def g_loss_from_fake(x):
             (l_fake, _), d_mut = d_apply(
-                d_state.params, d_state.batch_stats, fake_g)
+                d_state.params, d_state.batch_stats, x)
             err_g = bce_logits(l_fake, labels["real"])
             return err_g, {
                 "errG": err_g,
                 "D_G_z2": jnp.mean(jax.nn.sigmoid(l_fake)),
-                "g_stats": mut["batch_stats"],
                 "d_stats": d_mut["batch_stats"],
             }
 
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            g_state.params)
+        (_, g_aux), gx = jax.value_and_grad(g_loss_from_fake, has_aux=True)(
+            fake_sg)
+        g_grads, = g_vjp((gx, jax.tree.map(jnp.zeros_like, g_mut)))
         d_state = d_state.replace(batch_stats=g_aux["d_stats"])
         g_state = apply_updates(g_state, g_grads, tx_g,
-                                new_batch_stats=g_aux["g_stats"])
+                                new_batch_stats=g_mut["batch_stats"])
 
         metrics = {
             "errD": d_aux["errD"],

@@ -247,3 +247,67 @@ def test_vaegan_vjp_reuse_matches_naive(batch):
                          jax.tree_util.tree_leaves(d_b.params)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=0)
+
+
+def test_gan_vjp_reuse_matches_naive(batch):
+    """DCGAN: the G-step gradient through the saved G(z) residuals must be
+    bit-identical to recomputing G(z) inside the G loss."""
+    import numpy as np
+
+    from disentangle_mlp_tpu.ops.losses import bce_logits
+    from disentangle_mlp_tpu.train.common import (apply_updates, make_adam,
+                                                  sample_labels)
+    from disentangle_mlp_tpu.train.gan import create_gan_experiment
+
+    cfg = tiny_cfg()
+    cfg.dtype = "float32"
+    exp = create_gan_experiment(cfg, jax.random.key(31))
+    gen, disc = exp.generator, exp.discriminator
+    tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+
+    def d_apply(p, s, x):
+        return disc.apply({"params": p, "batch_stats": s}, x, train=True,
+                          return_logits=True, mutable=["batch_stats"])
+
+    def g_apply(p, s, z):
+        return gen.apply({"params": p, "batch_stats": s}, z, train=True,
+                         mutable=["batch_stats"])
+
+    def naive_step(g_state, d_state, batch, rng):
+        rl, rn = jax.random.split(rng)
+        labels = sample_labels(rl)
+        noise = jax.random.normal(rn, (batch.shape[0], cfg.n_hidden),
+                                  jnp.float32)
+        fake, g_mut = g_apply(g_state.params, g_state.batch_stats, noise)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(dp):
+            (lr_, _), m1 = d_apply(dp, d_state.batch_stats, batch)
+            (lf, _), m2 = d_apply(dp, m1["batch_stats"], fake)
+            return (bce_logits(lr_, labels["real"])
+                    + bce_logits(lf, labels["fake"])), m2["batch_stats"]
+        (_, ds), dg = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params)
+        d_state = apply_updates(d_state, dg, tx_d, new_batch_stats=ds)
+
+        def g_loss_fn(gp):
+            fg, mut = g_apply(gp, g_state.batch_stats, noise)
+            (lf, _), dm = d_apply(d_state.params, d_state.batch_stats, fg)
+            return bce_logits(lf, labels["real"]), \
+                (mut["batch_stats"], dm["batch_stats"])
+        (_, (gs, ds2)), gg = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params)
+        d_state = d_state.replace(batch_stats=ds2)
+        g_state = apply_updates(g_state, gg, tx_g, new_batch_stats=gs)
+        return g_state, d_state
+
+    rng = jax.random.key(32)
+    g_b, d_b = jax.jit(naive_step)(exp.g_state, exp.d_state, batch, rng)
+    g_a, d_a, _ = exp.train_step(exp.g_state, exp.d_state, batch, rng)
+    for got, want in zip(
+            jax.tree_util.tree_leaves((g_a.params, g_a.batch_stats,
+                                       d_a.params)),
+            jax.tree_util.tree_leaves((g_b.params, g_b.batch_stats,
+                                       d_b.params))):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=0)
