@@ -1,11 +1,21 @@
 """Headline benchmark: β-VAE-GAN training images/sec/chip on TPU.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "images/sec/chip",
+     "vs_baseline": N, "intent_mode_value": N}
 
-- metric: steady-state throughput of the full-size flagship 3-phase
+- metric/value: steady-state throughput of the full-size flagship 3-phase
   β-VAE-GAN train step (batch 256, bfloat16 compute — the reference's
-  published configuration: CelebA 64×64, batch 256, SURVEY.md §6).
+  published configuration: CelebA 64×64, batch 256, SURVEY.md §6), in the
+  exact-reference-semantics freeze_mode='observed' (the configuration the
+  published FID numbers were trained in).
+- intent_mode_value: same step under freeze_mode='intent' — true
+  torch-freeze semantics of the reference's STATED intent (its
+  requires_grad freezing was a no-op; SURVEY §3.1). The masked update
+  skips the frozen sub-network's backward and Adam traffic, so this is
+  the fast production configuration. Measured in the same process with
+  windows interleaved against the headline mode (the chip's delivered
+  rate drifts — cross-process numbers aren't comparable).
 - vs_baseline: speedup over a PyTorch-CPU implementation of the identical
   per-batch work (BENCH_BASELINE.json, produced once by
   benchmarks/torch_baseline.py; re-measured here if the cache is missing).
@@ -37,7 +47,16 @@ TIMED_STEPS = 20
 WINDOWS = 3
 
 
-def tpu_images_per_sec() -> float:
+def tpu_images_per_sec() -> dict:
+    """Measure BOTH freeze modes in one process with interleaved windows
+    (the only valid comparison on this drifting chip — README_PERF):
+
+    - 'observed': exact reference semantics (the no-op freeze; the
+      published FIDs' configuration) — the headline metric;
+    - 'intent': true torch-freeze semantics of the reference's stated
+      intent (per-subtree grads + split Adam states skip the frozen side's
+      backward and optimizer traffic) — the fast production mode.
+    """
     from disentangle_mlp_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
@@ -45,13 +64,8 @@ def tpu_images_per_sec() -> float:
     import jax.numpy as jnp
 
     from disentangle_mlp_tpu.config import Config
-    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
-
-    cfg = Config(name="bench", beta=25.0, batch_size_train=BATCH,
-                 dtype="bfloat16", lr=3e-4)
-    exp = create_vaegan_experiment(cfg, jax.random.key(0))
-
     from disentangle_mlp_tpu.train.scan import make_multi_step
+    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 
     # distinct device-resident batches; the scan driver runs TIMED_STEPS
     # steps in ONE dispatch (host RPC latency over the TPU tunnel would
@@ -59,24 +73,32 @@ def tpu_images_per_sec() -> float:
     batches = jax.random.uniform(
         jax.random.key(100), (TIMED_STEPS, BATCH, 64, 64, 3),
         jnp.float32, -1.0, 1.0)
-    multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
 
-    eg, d = exp.eg_state, exp.d_state
-    # warmup / compile. NOTE: on the axon platform block_until_ready() can
-    # return before execution finishes — a scalar value fetch is the only
-    # reliable barrier, so we sync by reading a metric.
-    eg, d, m = multi(eg, d, batches, jax.random.key(0))
-    float(m["recon_enc"][-1])
+    runs = {}
+    for mode in ("observed", "intent"):
+        cfg = Config(name=f"bench_{mode}", beta=25.0,
+                     batch_size_train=BATCH, dtype="bfloat16", lr=3e-4,
+                     freeze_mode=mode)
+        exp = create_vaegan_experiment(cfg, jax.random.key(0))
+        multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
+        # warmup / compile. NOTE: on the axon platform block_until_ready()
+        # can return before execution finishes — a scalar value fetch is
+        # the only reliable barrier, so we sync by reading a metric.
+        eg, d, m = multi(exp.eg_state, exp.d_state, batches,
+                         jax.random.key(0))
+        float(m["recon_enc"][-1])
+        runs[mode] = {"multi": multi, "eg": eg, "d": d, "best": 0.0}
 
-    best = 0.0
     for w in range(WINDOWS):
-        t0 = time.perf_counter()
-        eg, d, m = multi(eg, d, batches, jax.random.key(w + 1))
-        value = float(m["recon_enc"][-1])
-        dt = time.perf_counter() - t0
-        assert value == value, "training metric went NaN during bench"
-        best = max(best, BATCH * TIMED_STEPS / dt)
-    return best
+        for mode, r in runs.items():  # interleave modes within each window
+            t0 = time.perf_counter()
+            r["eg"], r["d"], m = r["multi"](
+                r["eg"], r["d"], batches, jax.random.key(w + 1))
+            value = float(m["recon_enc"][-1])
+            dt = time.perf_counter() - t0
+            assert value == value, "training metric went NaN during bench"
+            r["best"] = max(r["best"], BATCH * TIMED_STEPS / dt)
+    return {mode: r["best"] for mode, r in runs.items()}
 
 
 def baseline_images_per_sec() -> float:
@@ -93,13 +115,17 @@ def baseline_images_per_sec() -> float:
 
 
 def main() -> None:
-    value = tpu_images_per_sec()
+    rates = tpu_images_per_sec()
     base = baseline_images_per_sec()
     print(json.dumps({
         "metric": "beta-VAE-GAN train throughput (batch 256, bf16, 1 chip)",
-        "value": round(value, 2),
+        "value": round(rates["observed"], 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / base, 2),
+        "vs_baseline": round(rates["observed"] / base, 2),
+        # true-torch-freeze production mode (freeze_mode=intent): skips the
+        # frozen sub-network's backward + Adam traffic per phase; measured
+        # in the same process, windows interleaved with the headline mode
+        "intent_mode_value": round(rates["intent"], 2),
     }))
 
 

@@ -6,9 +6,14 @@ final_bo.py:33-36, and the next β picked off a plot. ``BetaSearch`` owns
 that loop: seed observations → fit GP → maximize EI on the β grid → train
 and score the proposed β via a user-supplied objective → repeat. The
 objective is any ``beta -> fid`` callable; ``make_training_objective``
-builds the real one (a full run_vaegan at that β). Per SURVEY §2.2 the
-natural multi-chip extension is one β per chip group; on a single chip the
-loop is sequential.
+builds the real one (a full run_vaegan at that β).
+
+Two execution modes:
+- ``run(n)``: sequential, one β at a time (single chip / single group);
+- ``run_parallel(rounds, make_group_objectives(cfg, k))``: the SURVEY §2.2
+  / BASELINE.json config-5 form — k βs proposed jointly per round
+  (constant-liar q-EI) and trained CONCURRENTLY, one per disjoint chip
+  group, each run's params/batches/FID pinned to its group's mesh.
 """
 
 from __future__ import annotations
@@ -80,14 +85,67 @@ class BetaSearch:
             fid = float(self.objective(beta))
             self.observe(beta, fid)
             print(f"[bo] beta={beta:.1f} -> FID={fid:.2f}")
+        return self.best()
+
+    def best(self) -> Dict[str, float]:
         i = int(np.argmin(self.fids))
         return {"best_beta": self.betas[i], "best_fid": self.fids[i]}
 
+    def propose_batch(self, k: int) -> List[float]:
+        """k jointly-diverse proposals via the constant-liar heuristic
+        (CL-mean, Ginsbourger et al. 2010): take the EI argmax, pretend its
+        outcome is the current posterior mean there, refit, repeat. The
+        lies push subsequent proposals away from already-claimed β, giving
+        one distinct candidate per chip group without waiting for results.
 
-def make_training_objective(base_cfg, epochs: Optional[int] = None
-                            ) -> Callable[[float], float]:
+        Reference scope: final_bo.py picked ONE β per (manual) round; this
+        is the batched form SURVEY §2.2 calls for ('one β per chip-group')."""
+        betas, fids = list(self.betas), list(self.fids)
+        out: List[float] = []
+        for _ in range(k):
+            # tiny noise floor: the liar set accumulates near-coincident
+            # grid points, which a noiseless RBF Gram can't Cholesky
+            gp = GaussianProcess(ell=self.ell, sigma_f=self.sigma_f,
+                                 noise_var=1e-6).fit(
+                np.asarray(betas), np.asarray(fids))
+            ei = expected_improvement(gp, self.grid, xi=self.xi)
+            ei = np.where(np.isin(self.grid, np.asarray(betas)), -np.inf, ei)
+            beta = float(self.grid[int(np.argmax(ei))])
+            lie = float(gp.predict(np.asarray([beta]))[0][0])
+            out.append(beta)
+            betas.append(beta)
+            fids.append(lie)
+        return out
+
+    def run_parallel(self, n_rounds: int,
+                     group_objectives: List[Callable[[float], float]]
+                     ) -> Dict[str, float]:
+        """FID-in-the-loop search with one β per chip group: each round
+        proposes ``len(group_objectives)`` βs jointly (propose_batch) and
+        evaluates them CONCURRENTLY, one per objective. With objectives
+        built by :func:`make_group_objectives` each training run lives on
+        its own disjoint device group, so the evaluations genuinely overlap
+        on hardware (threads only drive dispatch; the compute is XLA's)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = len(group_objectives)
+        with ThreadPoolExecutor(max_workers=k) as pool:
+            for _ in range(n_rounds):
+                batch = self.propose_batch(k)
+                futures = [pool.submit(obj, b)
+                           for obj, b in zip(group_objectives, batch)]
+                for beta, fut in zip(batch, futures):
+                    fid = float(fut.result())
+                    self.observe(beta, fid)
+                    print(f"[bo] beta={beta:.1f} -> FID={fid:.2f}")
+        return self.best()
+
+
+def make_training_objective(base_cfg, epochs: Optional[int] = None,
+                            devices=None) -> Callable[[float], float]:
     """beta → final-epoch FID via a full β-VAE-GAN training run (the
-    automated analogue of the reference's manual procedure)."""
+    automated analogue of the reference's manual procedure). ``devices``
+    pins the run (params, batches, FID) to an explicit chip group."""
     import dataclasses as dc
 
     from ..train.loop import run_vaegan
@@ -99,11 +157,32 @@ def make_training_objective(base_cfg, epochs: Optional[int] = None
         if epochs is not None:
             cfg = dc.replace(cfg, epochs=epochs)
         cfg = cfg.finalize()
-        result = run_vaegan(cfg)
+        result = run_vaegan(cfg, devices=devices)
         fid = result.get("FID", "N/A")
         if fid == "N/A":
             raise RuntimeError(
                 "objective requires calc_fid with usable reference stats")
         return float(fid)
 
+    objective.devices = devices
     return objective
+
+
+def make_group_objectives(base_cfg, n_groups: int,
+                          epochs: Optional[int] = None,
+                          devices=None) -> List[Callable[[float], float]]:
+    """Partition the visible chips into ``n_groups`` contiguous groups and
+    build one training objective per group — the data-parallel β search of
+    SURVEY §2.2 / BASELINE.json config 5. Contiguous slices keep each
+    group's gradient/BatchNorm collectives on neighbouring ICI links."""
+    import jax
+
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_groups < 1 or n_groups > len(devs):
+        raise ValueError(
+            f"n_groups={n_groups} must be in [1, {len(devs)}] "
+            f"(visible devices)")
+    per = len(devs) // n_groups
+    groups = [devs[i * per:(i + 1) * per] for i in range(n_groups)]
+    return [make_training_objective(base_cfg, epochs, devices=g)
+            for g in groups]

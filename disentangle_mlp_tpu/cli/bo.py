@@ -8,6 +8,9 @@ Two modes:
   machine-readable equivalent of the reference's plot.
 - ``--posterior_only False``: run the full FID-in-the-loop search,
   training a β-VAE-GAN per proposed β (needs data + FID reference stats).
+  ``--bo_parallel k`` splits the chips into k groups and trains k jointly
+  proposed βs concurrently per round (BASELINE.json config 5); each
+  ``--bo_iterations`` round then evaluates k βs instead of one.
 """
 
 from __future__ import annotations
@@ -26,9 +29,14 @@ def main(argv=None) -> None:
     parser.add_argument("--bo_output", type=str, default="bo_posterior.json")
     parser.add_argument("--bo_epochs", type=int, default=10,
                         help="epochs per objective evaluation")
+    parser.add_argument("--bo_parallel", type=int, default=1,
+                        help="chip groups training concurrently, one beta "
+                             "each (devices are split evenly; 1 = "
+                             "sequential search)")
     ns = parser.parse_args(argv)
     extra = {k: vars(ns).pop(k) for k in
-             ["posterior_only", "bo_iterations", "bo_output", "bo_epochs"]}
+             ["posterior_only", "bo_iterations", "bo_output", "bo_epochs",
+              "bo_parallel"]}
     cfg = Config(**{k: v for k, v in vars(ns).items()}).finalize()
 
     if extra["posterior_only"]:
@@ -58,7 +66,13 @@ def main(argv=None) -> None:
     objective = make_training_objective(cfg, epochs=extra["bo_epochs"])
     search = BetaSearch(objective=objective,
                         log_path=f"{cfg.save_path}/bo_history.json").seed()
-    result = search.run(extra["bo_iterations"])
+    if extra["bo_parallel"] > 1:
+        from ..bo.driver import make_group_objectives
+        groups = make_group_objectives(cfg, extra["bo_parallel"],
+                                       epochs=extra["bo_epochs"])
+        result = search.run_parallel(extra["bo_iterations"], groups)
+    else:
+        result = search.run(extra["bo_iterations"])
     print(f"best: beta={result['best_beta']:.1f} FID={result['best_fid']:.2f}")
 
 

@@ -54,7 +54,7 @@ def inception_is_pretrained() -> bool:
 
 
 def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
-                    shard: bool = True) -> np.ndarray:
+                    shard: bool = True, devices=None) -> np.ndarray:
     """NHWC float images in [0,1] → (N, 2048) activations, batched through
     one fixed-shape jitted program (padding the tail batch — static shapes
     keep XLA from recompiling per remainder).
@@ -62,17 +62,19 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
     With ``shard=True`` and multiple visible devices, each chunk is placed
     batch-sharded on a 1-D data mesh so the Inception forward runs
     data-parallel across all chips (round-1 roadmap: 1000 images ≈ 4 s on
-    one chip). The chunk size is rounded up to a device multiple; scores
-    are unchanged (tests/test_fid.py asserts sharded ≡ unsharded)."""
+    one chip). ``devices`` restricts the mesh to an explicit chip group
+    (per-group FID for the parallel-β BO search). The chunk size is rounded
+    up to a device multiple; scores are unchanged (tests/test_fid.py
+    asserts sharded ≡ unsharded)."""
     run, _ = _jitted_features()
     n = images01.shape[0]
     batch_size = min(batch_size, n)
 
     put = jnp.asarray
-    if shard and len(jax.devices()) > 1:
+    n_dev = len(devices) if devices is not None else len(jax.devices())
+    if shard and n_dev > 1:
         from ..parallel.mesh import batch_sharding, make_mesh
-        sharding = batch_sharding(make_mesh())
-        n_dev = len(jax.devices())
+        sharding = batch_sharding(make_mesh(devices=devices))
         batch_size = -(-batch_size // n_dev) * n_dev
         put = lambda c: jax.device_put(c, sharding)
 
@@ -168,13 +170,14 @@ def get_fid(path_data: str, path_pretrained: str) -> float:
     return frechet_distance(m1, s1, m2, s2)
 
 
-def get_fid_from_samples(samples_pm1: np.ndarray,
-                         path_pretrained: str) -> float:
+def get_fid_from_samples(samples_pm1: np.ndarray, path_pretrained: str,
+                         devices=None) -> float:
     """TPU fast path: score decoded samples (NHWC in [-1,1]) directly
-    against reference stats — no disk round-trip."""
+    against reference stats — no disk round-trip. ``devices``: optional
+    chip group for the activation extraction (see get_activations)."""
     m2, s2 = _handle_path(path_pretrained)
     imgs = per_image_normalize(samples_pm1)
-    m1, s1 = activation_statistics(get_activations(imgs))
+    m1, s1 = activation_statistics(get_activations(imgs, devices=devices))
     return frechet_distance(m1, s1, m2, s2)
 
 

@@ -35,15 +35,20 @@ from .vae import create_vae_experiment
 from .vaegan import create_vaegan_experiment
 
 
-def _setup_parallel(cfg: Config):
+def _setup_parallel(cfg: Config, devices=None):
     """Data-parallel mesh over all chips (SURVEY.md §2.2's TPU-native plan):
     params replicated, train batch sharded along axis 0. Returns
     (mesh, train_batch_sharding) — or (None, None) when the batch doesn't
-    divide the device count (e.g. tiny smoke runs)."""
+    divide the device count (e.g. tiny smoke runs).
+
+    ``devices`` restricts the run to an explicit chip group (the parallel-β
+    BO search runs one experiment per group, bo/driver.py); an explicit
+    group always gets a mesh — even a 1-device one — so every array of the
+    run is pinned to the group's chips rather than the process default."""
     maybe_initialize_distributed()
-    mesh = make_mesh(cfg.mesh_shape)
+    mesh = make_mesh(cfg.mesh_shape, devices=devices)
     n = mesh.devices.size
-    if n <= 1 or cfg.batch_size_train % n != 0:
+    if cfg.batch_size_train % n != 0 or (n <= 1 and devices is None):
         return None, None
     return mesh, batch_sharding(mesh)
 
@@ -86,7 +91,8 @@ class Throughput:
         return self.images / dt if dt > 0 else 0.0
 
 
-def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str):
+def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
+               devices=None):
     """FID over cfg.n_samples generated samples vs the precomputed stats
     (reference: new_betavaegan.py:230-235). Returns 'N/A' when disabled or
     when the reference-statistics asset is absent/unreadable — ONLY those
@@ -99,7 +105,8 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str):
         samples = generate_fid_samples(
             decode_fn, epoch, cfg.n_samples, cfg.n_hidden, path,
             rng_seed=cfg.seed + epoch)
-        return get_fid_from_samples(samples, cfg.fid_path_pretrained)
+        return get_fid_from_samples(samples, cfg.fid_path_pretrained,
+                                    devices=devices)
     except (FileNotFoundError, NotADirectoryError, IsADirectoryError) as e:
         print(f"[fid] skipped: {e}")  # missing assets must not kill training
         return "N/A"
@@ -238,12 +245,18 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     return last
 
 
-def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
-    """Parity with experiments/new_betavaegan.py __main__ (:211-267)."""
+def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
+               devices=None) -> Dict:
+    """Parity with experiments/new_betavaegan.py __main__ (:211-267).
+
+    ``devices``: optional explicit chip group to run on (params, batches,
+    and FID extraction all stay on the group). Lets several experiments —
+    e.g. the parallel-β BO search (bo/driver.py) — train concurrently on
+    disjoint groups of one machine's chips."""
     logger = logger or Logger(cfg.log_path, cfg)
     rng = jax.random.key(cfg.seed)
     exp = create_vaegan_experiment(cfg, rng)
-    mesh, train_sharding = _setup_parallel(cfg)
+    mesh, train_sharding = _setup_parallel(cfg, devices=devices)
     if mesh is not None:
         exp.eg_state = replicate(exp.eg_state, mesh)
         exp.d_state = replicate(exp.d_state, mesh)
@@ -293,7 +306,8 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
             # our Config defines it (config.py).
-            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_recons)
+            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_recons,
+                             devices=devices)
             print(f"====> Epoch: {epoch} Avg Encoder Loss: {enc_l:.4f} "
                   f"Avg Decoder Loss: {dec_l:.4f} "
                   f"Avg Discriminator Loss: {dis_l:.4f} FID: {fid} "

@@ -38,7 +38,7 @@ def test_maybe_fid_disabled(tmp_path):
 def test_maybe_fid_programming_error_raises(tmp_path, monkeypatch):
     import disentangle_mlp_tpu.eval.fid as fid_mod
 
-    def boom(samples, path):
+    def boom(samples, path, **kw):
         raise ValueError("deliberate bug in the FID stack")
 
     monkeypatch.setattr(fid_mod, "get_fid_from_samples", boom)
