@@ -70,6 +70,14 @@ class VAEGANExperiment:
     step_fn: Callable  # pure, un-jitted — for lax.scan multi-step drivers
     decode: Callable[[ModelState, jax.Array], jax.Array]
     reconstruct: Callable[[ModelState, jax.Array, jax.Array], jax.Array]
+    # pure step with β as its LAST (traced) operand. β never appears in the
+    # lowered HLO as a constant, so every β of a sweep / BO search lowers to
+    # the IDENTICAL program and the persistent XLA compilation cache turns
+    # the per-β compile into a seconds-long re-trace (measured on the
+    # full-size step: 105 s for the first β, ~5 s per β after —
+    # benchmarks/README_PERF.md; HLO equality asserted by
+    # tests/test_train_steps.py::test_vaegan_beta_runtime_operand).
+    step_with_beta: Callable = None
 
 
 def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
@@ -87,7 +95,7 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
     )
     tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
-    beta = float(cfg.beta)
+    beta_value = jnp.float32(cfg.beta)
     intent = cfg.freeze_mode == "intent"
 
     rng_eg, rng_d = jax.random.split(rng)
@@ -125,8 +133,10 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         )
 
     def train_step(eg_state: ModelState, d_state: ModelState,
-                   batch: jax.Array, rng: jax.Array
+                   batch: jax.Array, rng: jax.Array, beta: jax.Array
                    ) -> Tuple[ModelState, ModelState, Dict[str, jax.Array]]:
+        """β is a traced OPERAND, not a baked constant — see
+        VAEGANExperiment.step_with_beta."""
         rng_label, rng_noise, rng_eps_dec, rng_eps_enc = jax.random.split(rng, 4)
         labels = sample_labels(rng_label)
         noise = jax.random.normal(
@@ -280,13 +290,17 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
             eg_state.params, eg_state.batch_stats, x, rng)
         return recon
 
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
     return VAEGANExperiment(
         vae=vae,
         discriminator=discriminator,
         eg_state=eg_state,
         d_state=d_state,
-        train_step=jax.jit(train_step, donate_argnums=(0, 1)),
-        step_fn=train_step,
+        train_step=lambda eg, d, batch, rng: jit_step(
+            eg, d, batch, rng, beta_value),
+        step_fn=lambda eg, d, batch, rng: train_step(
+            eg, d, batch, rng, beta_value),
         decode=jax.jit(decode),
         reconstruct=jax.jit(reconstruct),
+        step_with_beta=train_step,
     )

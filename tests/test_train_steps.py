@@ -311,3 +311,36 @@ def test_gan_vjp_reuse_matches_naive(batch):
                                        d_b.params))):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=0)
+
+
+def test_vaegan_beta_runtime_operand(batch):
+    """β is a traced operand of the step, not a baked constant: two
+    experiments at different β lower to the IDENTICAL HLO program, so a β
+    sweep / the BO loop compiles the step once (persistent-cache hits for
+    every subsequent β). The bound train_step must equal step_with_beta at
+    the config's β."""
+    e25 = create_vaegan_experiment(tiny_cfg(beta=25.0), jax.random.key(31))
+    e100 = create_vaegan_experiment(tiny_cfg(beta=100.0), jax.random.key(31))
+    rng = jax.random.key(32)
+
+    args = (e25.eg_state, e25.d_state, batch, rng)
+    low25 = jax.jit(e25.step_with_beta).lower(*args, jnp.float32(25.0))
+    low100 = jax.jit(e100.step_with_beta).lower(*args, jnp.float32(100.0))
+    assert low25.as_text() == low100.as_text()
+
+    eg_b, _, m_b = jax.jit(e25.step_with_beta)(
+        e25.eg_state, e25.d_state, batch, rng, jnp.float32(25.0))
+
+    # different β operands change the encoder update through the SAME fn
+    eg_c, _, m_c = jax.jit(e25.step_with_beta)(
+        e25.eg_state, e25.d_state, batch, rng, jnp.float32(100.0))
+    assert float(m_c["kld"]) != float(m_b["kld"])
+
+    # the bound train_step (donating — call it last) equals the explicit-β
+    # form at the config's β
+    eg_a, _, m_a = e25.train_step(e25.eg_state, e25.d_state, batch, rng)
+    np.testing.assert_allclose(float(m_a["kld"]), float(m_b["kld"]),
+                               rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(eg_a.params),
+                    jax.tree_util.tree_leaves(eg_b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
