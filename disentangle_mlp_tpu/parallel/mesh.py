@@ -29,10 +29,20 @@ DATA_AXIS = "data"
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize multi-host JAX when launched under a pod scheduler
-    (no-op on a single host)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Initialize multi-host JAX when launched with the explicit env
+    contract — JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID when no cluster scheduler provides them) — a no-op on
+    a single host and when already initialized. Exercised for real by the
+    two-OS-process pod-path test (tests/test_multiprocess.py)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr or jax.distributed.is_initialized():
+        return
+    kwargs = {"coordinator_address": addr}
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if n is not None and pid is not None:
+        kwargs.update(num_processes=int(n), process_id=int(pid))
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices: int = 0,
