@@ -141,22 +141,36 @@ class BetaSearch:
         return self.best()
 
 
+def beta_run_config(base_cfg, beta: float, epochs: Optional[int] = None):
+    """A finalized per-β run config with its OWN run-directory tree.
+
+    When ``base_cfg`` still carries '%' templates, the per-β ``name``
+    templates a fresh tree as usual; when it is already finalized (the CLI
+    finalizes before building objectives), each β's run is nested under
+    ``<save_path>/<name>_beta<β>`` instead — without this, every β of a
+    search (and every CONCURRENT group of a parallel search) would write
+    the same checkpoint/log/FID paths, corrupting each other's artifacts."""
+    import dataclasses as dc
+
+    name = f"{base_cfg.name}_beta{beta:g}"
+    cfg = dc.replace(base_cfg, beta=float(beta), name=name)
+    if epochs is not None:
+        cfg = dc.replace(cfg, epochs=epochs)
+    if "%" not in cfg.save_path:
+        run_root = f"{base_cfg.save_path}/{name}"
+        cfg = dc.replace(cfg, save_path=run_root, log_path=f"{run_root}/log")
+    return cfg.finalize()
+
+
 def make_training_objective(base_cfg, epochs: Optional[int] = None,
                             devices=None) -> Callable[[float], float]:
     """beta → final-epoch FID via a full β-VAE-GAN training run (the
     automated analogue of the reference's manual procedure). ``devices``
     pins the run (params, batches, FID) to an explicit chip group."""
-    import dataclasses as dc
-
     from ..train.loop import run_vaegan
 
     def objective(beta: float) -> float:
-        cfg = dc.replace(
-            base_cfg, beta=float(beta),
-            name=f"{base_cfg.name}_beta{beta:g}")
-        if epochs is not None:
-            cfg = dc.replace(cfg, epochs=epochs)
-        cfg = cfg.finalize()
+        cfg = beta_run_config(base_cfg, beta, epochs)
         result = run_vaegan(cfg, devices=devices)
         fid = result.get("FID", "N/A")
         if fid == "N/A":
@@ -183,6 +197,10 @@ def make_group_objectives(base_cfg, n_groups: int,
             f"n_groups={n_groups} must be in [1, {len(devs)}] "
             f"(visible devices)")
     per = len(devs) // n_groups
+    idle = devs[per * n_groups:]
+    if idle:  # no silent capacity drops
+        print(f"[bo] WARNING: {len(devs)} devices don't split into "
+              f"{n_groups} groups — {len(idle)} will idle: {idle}")
     groups = [devs[i * per:(i + 1) * per] for i in range(n_groups)]
     return [make_training_objective(base_cfg, epochs, devices=g)
             for g in groups]

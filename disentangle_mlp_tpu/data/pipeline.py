@@ -306,6 +306,13 @@ class DataLoader:
                               else process_index)
         self.process_count = (jax.process_count() if process_count is None
                               else process_count)
+        # Simulated processes (tests/dryrun) slice regardless of sharding;
+        # REAL multi-host slices only when the global array can actually be
+        # assembled (sharding present) — otherwise each host must see the
+        # full batch, or it would silently train on a partial batch as if
+        # it were whole.
+        self._explicit_process = (process_index is not None
+                                  or process_count is not None)
         if self.process_count > 1 and batch_size % self.process_count:
             raise ValueError(
                 f"batch_size {batch_size} must divide evenly across "
@@ -361,7 +368,8 @@ class DataLoader:
                 for b in batches:
                     if stop.is_set():
                         return
-                    if self.process_count > 1:
+                    if self.process_count > 1 and (
+                            multihost or self._explicit_process):
                         b = process_local_slice(
                             b, self.process_index, self.process_count)
                     x, y = self.source.load_batch(b)

@@ -71,10 +71,14 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
     batch_size = min(batch_size, n)
 
     put = jnp.asarray
-    n_dev = len(devices) if devices is not None else len(jax.devices())
+    # default to LOCAL devices: host batches can only be device_put onto
+    # addressable chips (on a pod each host extracts identical activations
+    # from its own chips; a global mesh here would raise)
+    devs = list(devices) if devices is not None else jax.local_devices()
+    n_dev = len(devs)
     if shard and n_dev > 1:
         from ..parallel.mesh import batch_sharding, make_mesh
-        sharding = batch_sharding(make_mesh(devices=devices))
+        sharding = batch_sharding(make_mesh(devices=devs))
         batch_size = -(-batch_size // n_dev) * n_dev
         put = lambda c: jax.device_put(c, sharding)
 

@@ -31,8 +31,6 @@ import dataclasses
 import json
 from typing import Dict
 
-import numpy as np
-
 from ..config import Config
 
 FID_TARGET = 128.34   # log_beta_vaegan_25.json, epoch 10
@@ -45,18 +43,10 @@ def calibration_fid(loader, stats_path: str, max_images: int) -> float:
     ``loader`` scored against the reference statistics at ``stats_path``.
     ≈ 2 at the reference's 50k scale; grows as the sample count shrinks
     (finite-sample covariance bias), so the report records the count."""
-    from .fid import (activation_statistics, frechet_distance,
-                      get_activations, load_stats_npz)
-    import jax
+    from .fid import (compute_dataset_statistics, frechet_distance,
+                      load_stats_npz)
 
-    feats, seen = [], 0
-    for x, _ in loader:
-        batch = (np.asarray(jax.device_get(x), np.float32) + 1.0) / 2.0
-        feats.append(get_activations(batch))
-        seen += batch.shape[0]
-        if seen >= max_images:
-            break
-    mu1, s1 = activation_statistics(np.concatenate(feats)[:max_images])
+    mu1, s1 = compute_dataset_statistics(loader, max_images=max_images)
     mu2, s2 = load_stats_npz(stats_path)
     return frechet_distance(mu1, s1, mu2, s2)
 

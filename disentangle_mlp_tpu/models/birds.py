@@ -88,7 +88,8 @@ class BirdsDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True):
+    def __call__(self, x: jax.Array, train: bool = True,
+                 return_logits: bool = False):
         dt = self.dtype
         conv = lambda ch, h: nn.Conv(
             ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -105,7 +106,9 @@ class BirdsDiscriminator(nn.Module):
         f_d = lrelu(bn(conv(512, h)))              # (B, 4, 4, 512)
         logit = nn.Conv(1, (4, 4), padding="VALID",
                         kernel_init=nn.initializers.normal(0.02),
-                        dtype=dt)(f_d)
-        prob = jax.nn.sigmoid(logit.reshape(x.shape[0])).astype(jnp.float32)
+                        dtype=dt)(f_d).reshape(x.shape[0]).astype(jnp.float32)
+        # return_logits: bounded-gradient BCE inside train steps (the
+        # framework-wide logits-BCE invariant; compare gan.py)
+        out = logit if return_logits else jax.nn.sigmoid(logit)
         feats = jnp.mean(f_d, axis=(1, 2)).astype(jnp.float32)  # avg-pool 4×4
-        return prob, feats
+        return out, feats

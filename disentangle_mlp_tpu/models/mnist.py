@@ -63,12 +63,16 @@ class MnistDiscriminator(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True):
+    def __call__(self, x: jax.Array, train: bool = True,
+                 return_logits: bool = False):
         bn = lambda h: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, epsilon=1e-5,
                                     dtype=jnp.float32)(h)
         h = nn.relu(bn(nn.Conv(6, (3, 3), padding="VALID")(x)))
         h = nn.relu(bn(nn.Conv(12, (3, 3), padding="VALID")(h)))
         feats = nn.relu(nn.Dense(1024)(h.reshape(x.shape[0], -1)))
-        prob = jax.nn.sigmoid(nn.Dense(1)(feats)).reshape(x.shape[0])
-        return prob, feats
+        logit = nn.Dense(1)(feats).reshape(x.shape[0])
+        # return_logits: bounded-gradient BCE inside train steps (the
+        # framework-wide logits-BCE invariant; compare gan.py)
+        out = logit if return_logits else jax.nn.sigmoid(logit)
+        return out, feats

@@ -16,8 +16,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Sequence
 
-import numpy as np
-
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
@@ -78,18 +76,14 @@ class ResNet18Features(nn.Module):
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
-def _np(t) -> np.ndarray:
-    """torch.Tensor or ndarray → float32 ndarray (no torch import needed)."""
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, np.float32)
-
-
 def _convbn_from_torch(sd: Dict, conv_key: str, bn_key: str):
     """One torch (Conv2d, BatchNorm2d) pair → ConvBN variables: kernel
-    OIHW→HWIO; BN weight/bias→scale/bias, running stats→batch_stats."""
+    OIHW→HWIO; BN weight/bias→scale/bias, running stats→batch_stats.
+    Tensor/kernel-layout helpers shared with utils/torch_compat.py."""
+    from ..utils.torch_compat import conv_kernel_hwio, to_numpy as _np
+
     params = {
-        "Conv_0": {"kernel": _np(sd[f"{conv_key}.weight"]).transpose(2, 3, 1, 0)},
+        "Conv_0": {"kernel": conv_kernel_hwio(sd[f"{conv_key}.weight"])},
         "BatchNorm_0": {"scale": _np(sd[f"{bn_key}.weight"]),
                         "bias": _np(sd[f"{bn_key}.bias"])},
     }

@@ -29,7 +29,7 @@ from flax import linen as nn
 from ..config import Config
 from ..models.birds import BirdsDiscriminator, BirdsEncoder, BirdsGenerator
 from ..models.mnist import MnistDiscriminator, MnistEncoder, MnistGenerator
-from ..ops.losses import bce, kld as kld_sum, reconstruction_loss
+from ..ops.losses import bce_logits, reconstruction_loss
 from .common import ModelState, apply_updates, init_model_state, make_adam, sample_labels
 
 
@@ -120,9 +120,11 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
             method=method)
 
     def d_apply(params, stats, x):
+        # logits out: bounded BCE gradients even when D saturates (the
+        # framework-wide logits-BCE invariant; CLAUDE.md, ops/losses.py)
         return disc.apply(
             {"params": params, "batch_stats": stats}, x, train=True,
-            mutable=["batch_stats"])
+            return_logits=True, mutable=["batch_stats"])
 
     def train_step(eg_state: ModelState, d_state: ModelState,
                    batch: jax.Array, rng: jax.Array
@@ -138,11 +140,12 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
         eg_state = eg_state.replace(batch_stats=eg_mut["batch_stats"])
 
         def d_loss_fn(d_params):
-            (p_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
-            (p_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
-            loss = bce(p_real, labels["real"]) + bce(p_fake, labels["fake"])
+            (l_real, _), mut1 = d_apply(d_params, d_state.batch_stats, batch)
+            (l_fake, _), mut2 = d_apply(d_params, mut1["batch_stats"], fake)
+            loss = (bce_logits(l_real, labels["real"])
+                    + bce_logits(l_fake, labels["fake"]))
             return loss, {"stats": mut2["batch_stats"],
-                          "D_x": jnp.mean(p_real)}
+                          "D_x": jnp.mean(jax.nn.sigmoid(l_real))}
         (d_loss, d_aux), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_state.params)
         d_state = apply_updates(d_state, d_grads, tx_d,
@@ -151,10 +154,10 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
         def eg_loss_fn(eg_params):
             (recon, z, kld_ps), mut = eg_apply(
                 eg_params, eg_state.batch_stats, batch, rng_eps)
-            (p_recon, _), d_mut = d_apply(
+            (l_recon, _), d_mut = d_apply(
                 d_state.params, d_state.batch_stats, recon)
             loss = (jnp.sum(kld_ps) + reconstruction_loss(recon, batch)
-                    + bce(p_recon, labels["real"]))
+                    + bce_logits(l_recon, labels["real"]))
             return loss, {"eg_stats": mut["batch_stats"],
                           "d_stats": d_mut["batch_stats"]}
         (eg_loss, eg_aux), eg_grads = jax.value_and_grad(

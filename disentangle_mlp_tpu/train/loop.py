@@ -44,11 +44,27 @@ def _setup_parallel(cfg: Config, devices=None):
     ``devices`` restricts the run to an explicit chip group (the parallel-β
     BO search runs one experiment per group, bo/driver.py); an explicit
     group always gets a mesh — even a 1-device one — so every array of the
-    run is pinned to the group's chips rather than the process default."""
+    run is pinned to the group's chips rather than the process default.
+
+    A batch that doesn't divide the devices is only tolerated for the
+    implicit single-host case (tiny smoke runs fall back to unsharded
+    execution); with an explicit group it would silently unpin the run
+    onto the default device, and on a multi-host pod every host would
+    train an unsynchronized partial batch — both are errors."""
     maybe_initialize_distributed()
     mesh = make_mesh(cfg.mesh_shape, devices=devices)
     n = mesh.devices.size
-    if cfg.batch_size_train % n != 0 or (n <= 1 and devices is None):
+    if cfg.batch_size_train % n != 0:
+        if devices is not None:
+            raise ValueError(
+                f"batch_size_train={cfg.batch_size_train} must divide the "
+                f"explicit {n}-device group")
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"multi-host run: batch_size_train={cfg.batch_size_train} "
+                f"must divide the {n} global devices")
+        return None, None
+    if n <= 1 and devices is None:
         return None, None
     return mesh, batch_sharding(mesh)
 

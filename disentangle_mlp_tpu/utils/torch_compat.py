@@ -46,8 +46,21 @@ import numpy as np
 Tree = Dict[str, dict]
 
 
-def _np(t) -> np.ndarray:
-    return np.asarray(getattr(t, "numpy", lambda: t)(), dtype=np.float32)
+def to_numpy(t) -> np.ndarray:
+    """torch.Tensor or ndarray → float32 ndarray (no torch import needed).
+    Shared by every torch converter in the package (models/resnet.py,
+    eval/inception.py's sibling logic, and this module)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def conv_kernel_hwio(w) -> np.ndarray:
+    """torch Conv2d weight OIHW → flax HWIO."""
+    return to_numpy(w).transpose(2, 3, 1, 0)
+
+
+_np = to_numpy
 
 
 def strip_module_prefix(sd: dict) -> dict:

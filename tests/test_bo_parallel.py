@@ -116,3 +116,35 @@ def test_training_objective_exposes_devices():
     group = jax.devices()[:2]
     obj = make_training_objective(Config(name="t"), devices=group)
     assert obj.devices == group
+
+
+def test_beta_run_config_unique_dirs_after_finalize(tmp_path):
+    """Regression (round-2 review): a FINALIZED base config (the CLI path)
+    must still give every β — and every concurrent group — its own
+    checkpoint/log/FID tree; previously all runs shared base_cfg's dirs."""
+    from disentangle_mlp_tpu.bo.driver import beta_run_config
+
+    base = Config(name="bo", save_path=str(tmp_path / "%"),
+                  log_path=str(tmp_path / "%/log")).finalize(make_dirs=False)
+    c25 = beta_run_config(base, 25.0, epochs=1)
+    c75 = beta_run_config(base, 75.0, epochs=1)
+    assert c25.save_path != c75.save_path != base.save_path
+    assert c25.model_path != c75.model_path
+    assert c25.log_path != c75.log_path
+    assert c25.fid_path_recons != c75.fid_path_recons
+    assert c25.epochs == 1 and c25.beta == 25.0
+
+    # un-finalized base keeps plain %-templating
+    raw = Config(name="bo", save_path=str(tmp_path / "raw" / "%"),
+                 log_path=str(tmp_path / "raw" / "%/log"))
+    r25 = beta_run_config(raw, 25.0)
+    assert r25.save_path == str(tmp_path / "raw" / "bo_beta25")
+
+
+def test_setup_parallel_rejects_nondividing_explicit_group(tmp_path):
+    """Regression (round-2 review): an explicit group whose size doesn't
+    divide the batch must raise, not silently unpin onto the default
+    device."""
+    cfg = _tiny_run_cfg(tmp_path, "nd", batch_size_train=6)
+    with pytest.raises(ValueError, match="divide"):
+        _setup_parallel(cfg, devices=jax.devices()[:4])

@@ -134,3 +134,23 @@ def test_birds_encoder_pretrained_load(tmp_path):
         x, train=False, rngs={"reparam": jax.random.key(1)},
         mutable=["batch_stats"], method=lambda m, x, train: m.encoder(x, train))
     assert z.shape == (2, 8) and bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_family_discriminators_logits_path():
+    """The train steps use logits-BCE (framework invariant, CLAUDE.md);
+    sigmoid(logits) must equal the probability path exactly."""
+    disc = MnistDiscriminator()
+    x = jax.random.uniform(jax.random.key(1), (2, 28, 28, 1))
+    dv = disc.init(jax.random.key(2), x)
+    (prob, _), _ = disc.apply(dv, x, mutable=["batch_stats"])
+    (logit, _), _ = disc.apply(dv, x, return_logits=True,
+                               mutable=["batch_stats"])
+    assert jnp.allclose(jax.nn.sigmoid(logit), prob, atol=1e-6)
+
+    bdisc = BirdsDiscriminator()
+    bx = jax.random.uniform(jax.random.key(3), (2, 128, 128, 3))
+    bv = bdisc.init(jax.random.key(4), bx)
+    (bprob, _), _ = bdisc.apply(bv, bx, mutable=["batch_stats"])
+    (blogit, _), _ = bdisc.apply(bv, bx, return_logits=True,
+                                 mutable=["batch_stats"])
+    assert jnp.allclose(jax.nn.sigmoid(blogit), bprob, atol=1e-6)

@@ -156,3 +156,24 @@ def test_process_local_slice():
     parts = [process_local_slice(idx, h, 4) for h in range(4)]
     np.testing.assert_array_equal(np.concatenate(parts), idx)
     assert all(len(p) == 3 for p in parts)
+
+
+def test_real_multihost_without_sharding_keeps_full_batch(monkeypatch):
+    """Regression (round-2 review): when the per-host global-array assembly
+    is unavailable (sharding=None), a REAL multi-process loader must not
+    silently slice — each host sees the full batch."""
+    import disentangle_mlp_tpu.data.pipeline as pl
+
+    monkeypatch.setattr(pl.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(pl.jax, "process_index", lambda: 0)
+    src = pl.SyntheticSource(size=16, img_size=8, seed=3)
+    loader = pl.DataLoader(src, 8, shuffle=True, seed=5)
+    assert loader.process_count == 2 and not loader._explicit_process
+    x, y = next(iter(loader))
+    assert x.shape[0] == 8  # full batch, not the half-slice
+
+    # explicit simulated processes (tests/dryrun) still slice
+    sliced = pl.DataLoader(src, 8, shuffle=True, seed=5,
+                           process_index=0, process_count=2)
+    xs, _ = next(iter(sliced))
+    assert xs.shape[0] == 4
