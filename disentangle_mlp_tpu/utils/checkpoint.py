@@ -88,7 +88,15 @@ def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     epoch = int(raw["epoch"])
-    states = serialization.from_state_dict(template_states, raw["states"])
+    try:
+        states = serialization.from_state_dict(template_states, raw["states"])
+    except (KeyError, ValueError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} does not match the experiment's state "
+            f"structure ({e!r}). Common cause: the run was trained under a "
+            f"different --freeze_mode ('intent' keeps split {{dec, enc}} "
+            f"Adam states, 'observed' one shared state) — pass the flag the "
+            f"run was trained with.") from e
     return epoch, states
 
 

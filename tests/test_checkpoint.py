@@ -5,17 +5,18 @@ serialization exactly (reference contract: new_betavaegan.py:203-209,
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from disentangle_mlp_tpu.config import Config
 from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 from disentangle_mlp_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 
-def tiny_cfg():
+def tiny_cfg(**kw):
     return Config(name="t", n_hidden=8, batch_size_train=4, dtype="float32",
                   img_size=32, n_z=[8, 4, 4], representation_size=4,
                   head_width=32, decoder_channels=[8, 8, 8],
-                  disc_channels=[4, 8, 8, 8], disc_feature_dim=32)
+                  disc_channels=[4, 8, 8, 8], disc_feature_dim=32, **kw)
 
 
 def test_roundtrip_exact(tmp_path):
@@ -103,3 +104,27 @@ def test_bn_eval_mode_uses_running_stats():
                                  mutable=["batch_stats"])
     np.testing.assert_array_equal(np.asarray(mu_eval1), np.asarray(mu_eval2))
     assert not np.allclose(np.asarray(mu_eval1), np.asarray(mu_train))
+
+
+def test_cross_freeze_mode_restore_gives_clear_error(tmp_path):
+    """Restoring an intent-trained checkpoint under an observed template
+    (different Adam-state tree) must explain the freeze_mode mismatch, not
+    die with a bare KeyError (round-2 review hardening)."""
+    from disentangle_mlp_tpu.utils.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+
+    ei = create_vaegan_experiment(tiny_cfg(freeze_mode="intent"),
+                                  jax.random.key(0))
+    path = str(tmp_path / "ck_intent")
+    save_checkpoint(path, 3, {"eg": ei.eg_state, "d": ei.d_state})
+
+    eo = create_vaegan_experiment(tiny_cfg(freeze_mode="observed"),
+                                  jax.random.key(1))
+    with pytest.raises(ValueError, match="freeze_mode"):
+        load_checkpoint(path, {"eg": eo.eg_state, "d": eo.d_state})
+
+    # the matching template restores fine, epoch preserved
+    ei2 = create_vaegan_experiment(tiny_cfg(freeze_mode="intent"),
+                                   jax.random.key(2))
+    epoch, _ = load_checkpoint(path, {"eg": ei2.eg_state, "d": ei2.d_state})
+    assert epoch == 3
