@@ -94,3 +94,24 @@ def test_sharded_steps_keep_sharding_stable(batch):
         assert np.isfinite(float(m["recon_enc"]))
     leaf = jax.tree_util.tree_leaves(eg.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_vaegan_intent_step_sharded_matches_unsharded(batch):
+    """freeze_mode=intent (per-subtree grads, split Adam states — the fast
+    production mode) must also be shard-invariant."""
+    cfg = tiny_cfg(beta=25.0, freeze_mode="intent")
+    mesh = make_mesh()
+    exp1 = create_vaegan_experiment(cfg, jax.random.key(7))
+    _, _, m_ref = exp1.train_step(exp1.eg_state, exp1.d_state, batch,
+                                  jax.random.key(8))
+
+    exp2 = create_vaegan_experiment(cfg, jax.random.key(7))
+    eg = replicate(exp2.eg_state, mesh)
+    d = replicate(exp2.d_state, mesh)
+    eg2, _, m_sh = exp2.train_step(eg, d, shard_batch(batch, mesh),
+                                   jax.random.key(8))
+    for k in ["recon_enc", "kld", "dis"]:
+        np.testing.assert_allclose(
+            float(m_ref[k]), float(m_sh[k]), rtol=2e-3, err_msg=k)
+    leaf = jax.tree_util.tree_leaves(eg2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
