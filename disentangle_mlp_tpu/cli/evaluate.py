@@ -20,6 +20,15 @@ def main(argv=None) -> None:
     kwargs = {k: v for k, v in vars(ns).items() if k != "model"}
     kwargs["to_train"] = False  # sweep only
     cfg = Config(**kwargs).finalize()
+    if cfg.dataset in ("birds", "mnist"):
+        # the celebA experiment runners would unpack the families' None
+        # val/test loaders (reference get_data_loader returns train-only
+        # for these, dataset.py:23-35; its offline eval is celebA-only)
+        raise SystemExit(
+            f"offline eval sweeps are celebA-only (the reference's "
+            f"generate_samples_recons.py instantiates the celebA models); "
+            f"--dataset {cfg.dataset} checkpoints resume via "
+            f"dmt-train --load_path instead")
 
     from ..utils.runtime import setup
     setup()

@@ -446,7 +446,7 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
     raise ValueError(f"unknown dataset {opt.dataset!r}")
 
 
-def hostshard_selftest(mesh) -> None:
+def hostshard_selftest() -> None:
     """Prove the per-host slicing contract on one host: H simulated
     processes each decode ONLY their contiguous slice of the global batch,
     and the concatenation equals the single-process batch bit-for-bit.

@@ -73,10 +73,12 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
     put = jnp.asarray
     # default to LOCAL devices: host batches can only be device_put onto
     # addressable chips (on a pod each host extracts identical activations
-    # from its own chips; a global mesh here would raise)
+    # from its own chips; a global mesh here would raise). An EXPLICIT
+    # group is always honoured — even a 1-chip one — so a parallel-β run's
+    # FID never lands on the process default device.
     devs = list(devices) if devices is not None else jax.local_devices()
     n_dev = len(devs)
-    if shard and n_dev > 1:
+    if devices is not None or (shard and n_dev > 1):
         from ..parallel.mesh import batch_sharding, make_mesh
         sharding = batch_sharding(make_mesh(devices=devs))
         batch_size = -(-batch_size // n_dev) * n_dev

@@ -116,6 +116,8 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
     review: the bare except hid real bugs behind 'N/A')."""
     if not cfg.calc_fid:
         return "N/A"
+    import zipfile
+
     try:
         from ..eval.fid import get_fid_from_samples
         samples = generate_fid_samples(
@@ -123,8 +125,10 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
             rng_seed=cfg.seed + epoch)
         return get_fid_from_samples(samples, cfg.fid_path_pretrained,
                                     devices=devices)
-    except (FileNotFoundError, NotADirectoryError, IsADirectoryError) as e:
-        print(f"[fid] skipped: {e}")  # missing assets must not kill training
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
+            PermissionError, zipfile.BadZipFile) as e:
+        # missing/unreadable/corrupt asset must not kill training
+        print(f"[fid] skipped: {e}")
         return "N/A"
 
 

@@ -75,11 +75,13 @@ def chw_to_hwc_perm(c: int, h: int, w: int) -> np.ndarray:
 
 
 def _conv(sd: dict, key: str) -> Tree:
-    return {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+    return {"kernel": conv_kernel_hwio(sd[f"{key}.weight"]),
             "bias": _np(sd[f"{key}.bias"])}
 
 
 def _convt(sd: dict, key: str) -> Tree:
+    # torch ConvT weight is (in, out, kh, kw) — NOT conv's OIHW, so this is
+    # transpose(2, 3, 0, 1), not conv_kernel_hwio's (2, 3, 1, 0)
     w = _np(sd[f"{key}.weight"]).transpose(2, 3, 0, 1)  # (kh, kw, in, out)
     return {"kernel": np.ascontiguousarray(w[::-1, ::-1]),
             "bias": _np(sd[f"{key}.bias"])}
@@ -175,7 +177,10 @@ def convert_discriminator_state_dict(sd: dict,
 def load_torch_file(path: str) -> dict:
     import torch
 
-    return torch.load(path, map_location="cpu")
+    # weights_only: no arbitrary unpickling from untrusted checkpoints
+    # (reference .tars are plain dicts of tensors/ints; same flag as
+    # models/resnet.py's loader)
+    return torch.load(path, map_location="cpu", weights_only=True)
 
 
 def convert_reference_checkpoint(path: str, model: str, cfg) -> dict:
