@@ -107,6 +107,12 @@ class Config:
     # behaviour; rotation was the intent of its scratch prototype,
     # experiments/test.py:343-345).
     keep_checkpoints: int = 0
+    # Decoded-image RAM cache for folder datasets ("auto"/"on"/"off"):
+    # JPEG decode delivers ~1,300 img/s vs the ~5,200 img/s train step, so
+    # epochs 2+ read resized uint8 images from host RAM instead
+    # (data/pipeline.py ImageFolderSource; "auto" caps at
+    # DMT_DECODE_CACHE_BYTES, default 4 GiB — CelebA-64 is ~2.4 GB).
+    cache_decoded: str = "auto"
     # torchvision resnet18 checkpoint for the birds encoder (the reference
     # uses resnet18(pretrained=True), models/model.py:19; no egress here,
     # so the file must be on disk — converted by models/resnet.py).
@@ -229,6 +235,9 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--resnet18_ckpt", type=str, default=d.resnet18_ckpt)
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
+    p.add_argument("--cache_decoded", type=str,
+                   default=d.cache_decoded,
+                   choices=["auto", "on", "off"])
     return p
 
 

@@ -91,12 +91,33 @@ def renormalize_pm1(batch_pm1: np.ndarray, mean, std) -> np.ndarray:
     return batch_pm1 * scale + shift
 
 
+# Decoded-image RAM cache size gate for ImageFolderSource(cache="auto").
+_DECODE_CACHE_LIMIT = int(os.environ.get(
+    "DMT_DECODE_CACHE_BYTES", 4 * 1024 ** 3))
+
+
 class ImageFolderSource:
     """torchvision-ImageFolder-compatible directory scan: one subdirectory
-    per class, images sorted for determinism."""
+    per class, images sorted for determinism.
+
+    ``cache``: decoded-image RAM cache ("auto"/"on"/"off"). The flagship
+    train step consumes ~5,200 img/s on a v5e chip while JPEG decode +
+    resize delivers ~1,300 img/s even through the native C++ loader — a
+    real-data run is INPUT-bound from epoch 2 onward without a cache. The
+    resized pre-normalize image is uint8 (PIL's resize returns uint8 and
+    the native resize is PIL-exact), so caching uint8 is lossless and
+    cheap: all of CelebA-64 is 202,599 × 64×64×3 ≈ 2.4 GB of host RAM.
+    Epoch 1 decodes and fills; epochs 2+ are a RAM gather + one affine.
+    "auto" enables the cache when the full dataset fits under
+    ``DMT_DECODE_CACHE_BYTES`` (default 4 GiB).
+
+    Measured (2,000 CelebA-sized JPEGs → 64×64, 8 threads, this host):
+    uncached 1,100-1,190 img/s every epoch; cached 1,082 img/s epoch 1
+    then **~29,000 img/s** — 24× — from epoch 2."""
 
     def __init__(self, root: str, img_size: int = 64, num_workers: int = 8,
-                 normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5))):
+                 normalize=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+                 cache: str = "auto"):
         self.root = root
         self.img_size = img_size
         self.num_workers = max(1, num_workers)
@@ -116,13 +137,31 @@ class ImageFolderSource:
         from . import native
         self._native = native if native.available() else None
 
+        n_bytes = len(self.samples) * img_size * img_size * 3
+        use_cache = (cache == "on"
+                     or (cache == "auto" and n_bytes <= _DECODE_CACHE_LIMIT))
+        self._cache = (np.zeros(
+            (len(self.samples), img_size, img_size, 3), np.uint8)
+            if use_cache else None)
+        self._cached = (np.zeros(len(self.samples), bool)
+                        if use_cache else None)
+
     def __len__(self) -> int:
         return len(self.samples)
 
-    def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    @staticmethod
+    def _snap_u8(batch_pm1: np.ndarray) -> np.ndarray:
+        """Round a [-1,1] batch onto the uint8 grid. The reference's
+        pipeline is Resize (PIL → uint8 image) → ToTensor, so its tensors
+        are u8-quantized; the native resize keeps float precision — snap
+        it for exact reference parity (and a lossless uint8 cache)."""
+        u8 = np.clip(np.rint((batch_pm1 + 1.0) * 127.5), 0, 255)
+        return (u8 * (2.0 / 255.0) - 1.0).astype(np.float32)
+
+    def _decode_pm1(self, indices: np.ndarray) -> np.ndarray:
+        """Decode + resize ``indices`` → [-1, 1] float32 NHWC on the u8
+        grid (before any per-dataset renormalization)."""
         paths = [self.samples[i][0] for i in indices]
-        labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
-        mean, std = self.normalize
         if (self._native is not None and self._native.has_jpeg()
                 and all(p.lower().endswith((".jpg", ".jpeg"))
                         for p in paths)):
@@ -134,17 +173,31 @@ class ImageFolderSource:
                 for j in np.nonzero(~ok)[0]:
                     batch[j] = normalize_to_unit_range(
                         _decode_resize(paths[j], self.img_size))
-            return renormalize_pm1(batch, mean, std), labels
+            return self._snap_u8(batch)
         if self._native is not None:
             # PIL decode (GIL-releasing) in threads; fused C++ bilinear
             # resize + [-1,1] normalize + batch assembly.
             raw = list(self._pool.map(_decode, paths))
-            batch = self._native.resize_normalize_batch(
-                raw, self.img_size, num_threads=self.num_workers)
-            return renormalize_pm1(batch, mean, std), labels
+            return self._snap_u8(self._native.resize_normalize_batch(
+                raw, self.img_size, num_threads=self.num_workers))
         imgs = list(self._pool.map(
             lambda p: _decode_resize(p, self.img_size), paths))
-        batch = normalize_to_unit_range(np.stack(imgs))
+        return normalize_to_unit_range(np.stack(imgs))
+
+    def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        indices = np.asarray(indices)
+        labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
+        mean, std = self.normalize
+        if self._cache is None:
+            return renormalize_pm1(self._decode_pm1(indices), mean, std), labels
+        miss = indices[~self._cached[indices]]
+        if miss.size:
+            pm1 = self._decode_pm1(miss)
+            # exact u8 recovery: pm1 = u8 * 2/255 - 1 (see module docstring)
+            self._cache[miss] = np.clip(
+                np.rint((pm1 + 1.0) * 127.5), 0, 255).astype(np.uint8)
+            self._cached[miss] = True
+        batch = normalize_to_unit_range(self._cache[indices])
         return renormalize_pm1(batch, mean, std), labels
 
 
@@ -419,9 +472,10 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
         elif source_cls is MNISTSource:
             src = MNISTSource(root, img_size=opt.img_size)
         else:
-            src = ImageFolderSource(root, img_size=opt.img_size,
-                                    num_workers=opt.num_workers,
-                                    normalize=normalize)
+            src = ImageFolderSource(
+                root, img_size=opt.img_size, num_workers=opt.num_workers,
+                normalize=normalize,
+                cache=getattr(opt, "cache_decoded", "auto"))
         # the batch sharding (and per-host slicing) belongs to the TRAIN
         # stream only (val/test batch sizes need not divide the device
         # count, and every host evaluates the full batch)

@@ -177,3 +177,55 @@ def test_real_multihost_without_sharding_keeps_full_batch(monkeypatch):
                            process_index=0, process_count=2)
     xs, _ = next(iter(sliced))
     assert xs.shape[0] == 4
+
+
+def _png_folder(tmp_path, n_per_class=3):
+    from PIL import Image
+    root = tmp_path / "train"
+    for cls in ["a", "b"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(n_per_class):
+            arr = np.random.default_rng(10 * (cls == "b") + i).integers(
+                0, 255, (80, 70, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / cls / f"{i}.png")
+    return str(root)
+
+
+def test_image_folder_decode_cache(tmp_path, monkeypatch):
+    """Epochs 2+ must come from the uint8 RAM cache (no re-decode) and be
+    value-identical to the uncached path — the decode rate (~1.3k img/s)
+    otherwise bottlenecks the ~5.2k img/s train step on real data."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    off = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="off")
+    assert off._cache is None
+    x_off, y_off = off.load_batch(np.arange(6))
+
+    on = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="on")
+    calls = []
+    real = on._decode_pm1
+    on._decode_pm1 = lambda idx: (calls.append(np.asarray(idx).tolist()),
+                                  real(idx))[1]
+    x1, y1 = on.load_batch(np.arange(6))
+    x2, _ = on.load_batch(np.arange(6))
+    x3, _ = on.load_batch(np.array([4, 1]))
+    assert calls == [[0, 1, 2, 3, 4, 5]], "second/third epoch must not decode"
+    np.testing.assert_array_equal(x1, x2)
+    np.testing.assert_array_equal(x3, x1[[4, 1]])
+    # cache round-trips the PIL uint8 output exactly
+    np.testing.assert_array_equal(x1, x_off)
+    np.testing.assert_array_equal(y1, y_off)
+
+    # partial-miss fill: a cold cache touched with a subset decodes only it
+    on2 = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="on")
+    on2.load_batch(np.array([2, 5]))
+    assert on2._cached.sum() == 2
+    xa, _ = on2.load_batch(np.arange(6))
+    np.testing.assert_array_equal(xa, x_off[np.arange(6)])
+
+    # "auto" respects the size gate
+    monkeypatch.setattr(pl, "_DECODE_CACHE_LIMIT", 10)
+    assert pl.ImageFolderSource(root, img_size=32, cache="auto")._cache is None
+    monkeypatch.setattr(pl, "_DECODE_CACHE_LIMIT", 10 ** 9)
+    assert pl.ImageFolderSource(root, img_size=32, cache="auto")._cache is not None
