@@ -84,13 +84,16 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
         batch_size = -(-batch_size // n_dev) * n_dev
         put = lambda c: jax.device_put(c, sharding)
 
+    # device-resident input (the decode output): chunk/pad with jnp so the
+    # image batch is never pulled to host and re-uploaded over the tunnel
+    xp = jnp if isinstance(images01, jax.Array) else np
     out = np.empty((n, FEATURE_DIM), np.float32)
     for start in range(0, n, batch_size):
         chunk = images01[start:start + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad:
-            chunk = np.concatenate(
-                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            chunk = xp.concatenate(
+                [chunk, xp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
         acts = np.asarray(run(put(chunk)))
         out[start:start + batch_size - pad] = acts[:batch_size - pad]
     return out
@@ -169,11 +172,22 @@ def frechet_distance_from_samples(acts: np.ndarray, mu2: np.ndarray,
 def per_image_normalize(batch: np.ndarray) -> np.ndarray:
     """Per-image min-max → [0,1], matching what ends up in the sample files
     (torchvision save_image(normalize=True) semantics)."""
+    if isinstance(batch, jax.Array):  # device fast path, same math
+        return _per_image_normalize_jit(batch)
     batch = np.asarray(batch, np.float32)
     flat = batch.reshape(batch.shape[0], -1)
     lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
     hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
     return (batch - lo) / np.maximum(hi - lo, 1e-5)
+
+
+@jax.jit
+def _per_image_normalize_jit(batch: jax.Array) -> jax.Array:
+    batch = batch.astype(jnp.float32)
+    flat = batch.reshape(batch.shape[0], -1)
+    lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
+    hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
+    return (batch - lo) / jnp.maximum(hi - lo, 1e-5)
 
 
 def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:

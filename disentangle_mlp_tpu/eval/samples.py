@@ -35,16 +35,21 @@ def _sample_latents(rng_seed: int, n_samples: int, n_hidden: int) -> jax.Array:
 
 def generate_fid_samples(fn: Callable, epoch: int, n_samples: int,
                          n_hidden: int, results_path: str,
-                         rng_seed: int = 0) -> np.ndarray:
+                         rng_seed: int = 0):
     """Decode n_samples random latents and save one PNG per image
-    (utils.py:21-26). Returns the decoded batch (NHWC float) so callers can
-    also score FID in memory without the disk round-trip."""
+    (utils.py:21-26). Returns the decoded batch so callers can also score
+    FID in memory without the disk round-trip — DEVICE-resident when the
+    decode ran on device (the on-device scoring path in eval/fid.py then
+    never re-uploads the 1000×64×64×3 batch over the tunnel; the single
+    host pull here feeds only the PNG writes), plain numpy otherwise
+    (lambda fns in tests)."""
     z = _sample_latents(rng_seed, n_samples, n_hidden)
-    batch = np.asarray(jax.device_get(fn(z)), np.float32)
+    dev = fn(z)
+    batch = np.asarray(jax.device_get(dev), np.float32)
     for i in range(batch.shape[0]):
         save_image(batch[i], f"{results_path}/sample_{i}_{epoch}.png",
                    normalize=True)
-    return batch
+    return dev if isinstance(dev, jax.Array) else batch
 
 
 def generate_samples(fn: Callable, epoch: int, n_samples: int, n_hidden: int,

@@ -137,3 +137,23 @@ def test_frechet_lowrank_matches_full():
     np.testing.assert_allclose(
         frechet_distance_from_samples(y, m2, s2),
         frechet_distance(*activation_statistics(y), m2, s2), rtol=1e-5)
+
+
+def test_on_device_scoring_matches_host_path():
+    """Device-resident samples (the decode output) must score identically
+    to the host-numpy path — the on-device path skips the sample batch's
+    host round-trip entirely."""
+    import jax.numpy as jnp
+
+    from disentangle_mlp_tpu.eval.fid import get_activations, per_image_normalize
+
+    rng = np.random.default_rng(3)
+    pm1 = rng.uniform(-1, 1, (7, 32, 32, 3)).astype(np.float32)
+
+    n_host = per_image_normalize(pm1)
+    n_dev = per_image_normalize(jnp.asarray(pm1))
+    np.testing.assert_allclose(np.asarray(n_dev), n_host, atol=1e-6)
+
+    a_host = get_activations(n_host, batch_size=4)
+    a_dev = get_activations(jnp.asarray(n_host), batch_size=4)
+    np.testing.assert_allclose(a_dev, a_host, atol=1e-5)
