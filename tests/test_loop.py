@@ -103,3 +103,15 @@ def test_run_gan_end_to_end(tmp_path):
     log = _read_log(cfg)
     assert set(log["output"][0]) == {"Epoch", "Avg Loss G", "Avg Loss E", "FID"}
     assert Path(cfg.model_path, "model_1").exists()
+
+
+def test_run_vaegan_deterministic_across_runs(tmp_path):
+    """Same seed + synthetic data → bit-identical logged metrics across two
+    fresh processes' worth of state (fresh experiment objects here): the
+    loop's rng folding, the pipeline shuffle, and init are all seeded."""
+    logs = []
+    for name in ("det_a", "det_b"):
+        cfg = tiny_run_cfg(tmp_path, name, epochs=2, beta=25.0)
+        run_vaegan(cfg)
+        logs.append(_read_log(cfg)["output"])
+    assert logs[0] == logs[1]
