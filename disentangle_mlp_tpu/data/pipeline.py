@@ -137,6 +137,9 @@ class ImageFolderSource:
         from . import native
         self._native = native if native.available() else None
 
+        if cache not in ("auto", "on", "off"):
+            # a typo must not silently run every epoch at decode speed
+            raise ValueError(f"cache must be auto/on/off, got {cache!r}")
         n_bytes = len(self.samples) * img_size * img_size * 3
         use_cache = (cache == "on"
                      or (cache == "auto" and n_bytes <= _DECODE_CACHE_LIMIT))
@@ -150,17 +153,18 @@ class ImageFolderSource:
         return len(self.samples)
 
     @staticmethod
-    def _snap_u8(batch_pm1: np.ndarray) -> np.ndarray:
-        """Round a [-1,1] batch onto the uint8 grid. The reference's
-        pipeline is Resize (PIL → uint8 image) → ToTensor, so its tensors
-        are u8-quantized; the native resize keeps float precision — snap
-        it for exact reference parity (and a lossless uint8 cache)."""
-        u8 = np.clip(np.rint((batch_pm1 + 1.0) * 127.5), 0, 255)
-        return (u8 * (2.0 / 255.0) - 1.0).astype(np.float32)
+    def _pm1_to_u8(batch_pm1: np.ndarray) -> np.ndarray:
+        """Round a [-1,1] batch onto the uint8 grid (the single place the
+        quantization formula lives). The reference's pipeline is Resize
+        (PIL → uint8 image) → ToTensor, so its tensors are u8-quantized;
+        the native resize keeps float precision — snap it for exact
+        reference parity (and a lossless uint8 cache)."""
+        return np.clip(
+            np.rint((batch_pm1 + 1.0) * 127.5), 0, 255).astype(np.uint8)
 
-    def _decode_pm1(self, indices: np.ndarray) -> np.ndarray:
-        """Decode + resize ``indices`` → [-1, 1] float32 NHWC on the u8
-        grid (before any per-dataset renormalization)."""
+    def _decode_u8(self, indices: np.ndarray) -> np.ndarray:
+        """Decode + resize ``indices`` → resized uint8 NHWC (what the
+        reference's PIL Resize produces; cached verbatim)."""
         paths = [self.samples[i][0] for i in indices]
         if (self._native is not None and self._native.has_jpeg()
                 and all(p.lower().endswith((".jpg", ".jpeg"))
@@ -173,16 +177,21 @@ class ImageFolderSource:
                 for j in np.nonzero(~ok)[0]:
                     batch[j] = normalize_to_unit_range(
                         _decode_resize(paths[j], self.img_size))
-            return self._snap_u8(batch)
+            return self._pm1_to_u8(batch)
         if self._native is not None:
             # PIL decode (GIL-releasing) in threads; fused C++ bilinear
             # resize + [-1,1] normalize + batch assembly.
             raw = list(self._pool.map(_decode, paths))
-            return self._snap_u8(self._native.resize_normalize_batch(
+            return self._pm1_to_u8(self._native.resize_normalize_batch(
                 raw, self.img_size, num_threads=self.num_workers))
         imgs = list(self._pool.map(
             lambda p: _decode_resize(p, self.img_size), paths))
-        return normalize_to_unit_range(np.stack(imgs))
+        return np.stack(imgs)
+
+    def _decode_pm1(self, indices: np.ndarray) -> np.ndarray:
+        """Decode + resize ``indices`` → [-1, 1] float32 NHWC on the u8
+        grid (before any per-dataset renormalization)."""
+        return normalize_to_unit_range(self._decode_u8(indices))
 
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         indices = np.asarray(indices)
@@ -192,10 +201,7 @@ class ImageFolderSource:
             return renormalize_pm1(self._decode_pm1(indices), mean, std), labels
         miss = indices[~self._cached[indices]]
         if miss.size:
-            pm1 = self._decode_pm1(miss)
-            # exact u8 recovery: pm1 = u8 * 2/255 - 1 (see module docstring)
-            self._cache[miss] = np.clip(
-                np.rint((pm1 + 1.0) * 127.5), 0, 255).astype(np.uint8)
+            self._cache[miss] = self._decode_u8(miss)
             self._cached[miss] = True
         batch = normalize_to_unit_range(self._cache[indices])
         return renormalize_pm1(batch, mean, std), labels
@@ -472,10 +478,14 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
         elif source_cls is MNISTSource:
             src = MNISTSource(root, img_size=opt.img_size)
         else:
+            # decode cache on the TRAIN stream only: it is the split that
+            # is re-read every epoch, and a per-split cache would multiply
+            # the DMT_DECODE_CACHE_BYTES budget by three
             src = ImageFolderSource(
                 root, img_size=opt.img_size, num_workers=opt.num_workers,
                 normalize=normalize,
-                cache=getattr(opt, "cache_decoded", "auto"))
+                cache=getattr(opt, "cache_decoded", "auto")
+                if shuffle else "off")
         # the batch sharding (and per-host slicing) belongs to the TRAIN
         # stream only (val/test batch sizes need not divide the device
         # count, and every host evaluates the full batch)

@@ -169,25 +169,26 @@ def frechet_distance_from_samples(acts: np.ndarray, mu2: np.ndarray,
                  - 2.0 * tr_covmean)
 
 
+def _per_image_normalize_body(batch, xp):
+    """The one copy of the min-max math, parameterized on the array
+    namespace (np for host batches, jnp inside the jit)."""
+    flat = batch.reshape(batch.shape[0], -1)
+    lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
+    hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
+    return (batch - lo) / xp.maximum(hi - lo, 1e-5)
+
+
+_per_image_normalize_jit = jax.jit(
+    lambda b: _per_image_normalize_body(b.astype(jnp.float32), jnp))
+
+
 def per_image_normalize(batch: np.ndarray) -> np.ndarray:
     """Per-image min-max → [0,1], matching what ends up in the sample files
-    (torchvision save_image(normalize=True) semantics)."""
-    if isinstance(batch, jax.Array):  # device fast path, same math
+    (torchvision save_image(normalize=True) semantics). Device arrays stay
+    on device (jitted); host arrays run in numpy."""
+    if isinstance(batch, jax.Array):
         return _per_image_normalize_jit(batch)
-    batch = np.asarray(batch, np.float32)
-    flat = batch.reshape(batch.shape[0], -1)
-    lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
-    hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
-    return (batch - lo) / np.maximum(hi - lo, 1e-5)
-
-
-@jax.jit
-def _per_image_normalize_jit(batch: jax.Array) -> jax.Array:
-    batch = batch.astype(jnp.float32)
-    flat = batch.reshape(batch.shape[0], -1)
-    lo = flat.min(axis=1).reshape(-1, 1, 1, 1)
-    hi = flat.max(axis=1).reshape(-1, 1, 1, 1)
-    return (batch - lo) / jnp.maximum(hi - lo, 1e-5)
+    return _per_image_normalize_body(np.asarray(batch, np.float32), np)
 
 
 def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from disentangle_mlp_tpu.config import Config
 from disentangle_mlp_tpu.data.pipeline import (
@@ -204,9 +205,9 @@ def test_image_folder_decode_cache(tmp_path, monkeypatch):
 
     on = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="on")
     calls = []
-    real = on._decode_pm1
-    on._decode_pm1 = lambda idx: (calls.append(np.asarray(idx).tolist()),
-                                  real(idx))[1]
+    real = on._decode_u8
+    on._decode_u8 = lambda idx: (calls.append(np.asarray(idx).tolist()),
+                                 real(idx))[1]
     x1, y1 = on.load_batch(np.arange(6))
     x2, _ = on.load_batch(np.arange(6))
     x3, _ = on.load_batch(np.array([4, 1]))
@@ -229,3 +230,24 @@ def test_image_folder_decode_cache(tmp_path, monkeypatch):
     assert pl.ImageFolderSource(root, img_size=32, cache="auto")._cache is None
     monkeypatch.setattr(pl, "_DECODE_CACHE_LIMIT", 10 ** 9)
     assert pl.ImageFolderSource(root, img_size=32, cache="auto")._cache is not None
+
+
+def test_cache_flag_validated_and_train_only(tmp_path):
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    with pytest.raises(ValueError, match="auto/on/off"):
+        pl.ImageFolderSource(root, img_size=32, cache="On")
+
+    # only the train stream caches (one DMT_DECODE_CACHE_BYTES budget,
+    # and val/test are read rarely)
+    cfg = Config(name="t", cache_decoded="on", img_size=32,
+                 batch_size_train=4, batch_size_val=4, batch_size_test=2,
+                 image_root_train=root, image_root_val=root,
+                 image_root_test=root,
+                 save_path=str(tmp_path / "%"),
+                 log_path=str(tmp_path / "%/log")).finalize()
+    train, val, test = get_data_loader(cfg)
+    assert train.source._cache is not None
+    assert val.source._cache is None
+    assert test.source._cache is None
