@@ -36,6 +36,13 @@ class Logger:
         os.makedirs(log_path, exist_ok=True)
         stamp = datetime.now().strftime("%m_%d_%Y_%H_%M_%S")
         self.log_file = os.path.join(log_path, f"log_{stamp}.json")
+        # second-resolution stamps collide when runs start together (e.g.
+        # concurrent BO groups logging into one dir) — de-collide, never
+        # clobber an existing run's log
+        n = 1
+        while os.path.exists(self.log_file):
+            self.log_file = os.path.join(log_path, f"log_{stamp}_{n}.json")
+            n += 1
 
         if dataclasses.is_dataclass(settings) and not isinstance(settings, type):
             args: Any = {k: _jsonable(v) for k, v in dataclasses.asdict(settings).items()}

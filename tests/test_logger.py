@@ -21,3 +21,19 @@ def test_log_schema(tmp_path):
     assert data["meta_data"]["args"]["beta"] == 50.0
     assert data["output"][0] == {"Epoch": 0, "Avg Loss": 1.5, "FID": "N/A"}
     assert data["output"][1]["FID"] == 123.4
+
+
+def test_logger_never_clobbers_same_second(tmp_path):
+    """Two runs starting within the same second (concurrent BO groups) must
+    get distinct log files."""
+    from disentangle_mlp_tpu.config import Config
+
+    cfg = Config(name="t")
+    a = Logger(str(tmp_path), cfg)
+    b = Logger(str(tmp_path), cfg)
+    assert a.log_file != b.log_file
+    a.log({"Epoch": 0})
+    b.log({"Epoch": 99})
+    import json
+    assert json.load(open(a.log_file))["output"] == [{"Epoch": 0}]
+    assert json.load(open(b.log_file))["output"] == [{"Epoch": 99}]

@@ -115,3 +115,32 @@ def test_run_vaegan_deterministic_across_runs(tmp_path):
         run_vaegan(cfg)
         logs.append(_read_log(cfg)["output"])
     assert logs[0] == logs[1]
+
+
+def test_run_vae_on_real_image_folders(tmp_path):
+    """End-to-end epoch driver over an actual ImageFolder dataset (all
+    three splits), not the synthetic stream: decode cache + loaders + eval
+    sweep integrate with the training loop."""
+    import numpy as np
+    from PIL import Image
+
+    for split, n in (("train", 12), ("val", 8), ("test", 4)):
+        for cls in ["x"]:
+            d = tmp_path / "imgs" / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = np.random.default_rng(hash(split) % 1000 + i).integers(
+                    0, 255, (40, 40, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    cfg = tiny_run_cfg(
+        tmp_path, "folder", synthetic_data=False,
+        batch_size_train=4, batch_size_val=4, batch_size_test=4,
+        image_root_train=str(tmp_path / "imgs" / "train"),
+        image_root_val=str(tmp_path / "imgs" / "val"),
+        image_root_test=str(tmp_path / "imgs" / "test"),
+        test_samples=True)
+    out = run_vae(cfg)
+    assert np.isfinite(out["Avg Loss"])
+    log = _read_log(cfg)
+    assert len(log["output"]) == 1
