@@ -191,9 +191,20 @@ def per_image_normalize(batch: np.ndarray) -> np.ndarray:
     return _per_image_normalize_body(np.asarray(batch, np.float32), np)
 
 
+class StatsFileError(ValueError):
+    """The reference-statistics file exists but is not a usable {mu, sigma}
+    archive — an ASSET problem (train loops degrade FID to 'N/A' on it, as
+    for a missing file), not a programming error."""
+
+
 def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with np.load(path) as f:
-        return f["mu"][:], f["sigma"][:]
+        try:
+            return f["mu"][:], f["sigma"][:]
+        except KeyError as e:
+            raise StatsFileError(
+                f"{path!r} lacks the mu/sigma arrays (has: "
+                f"{sorted(f.files)})") from e
 
 
 def statistics_from_dir(path: str) -> Tuple[np.ndarray, np.ndarray]:

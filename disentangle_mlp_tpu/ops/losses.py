@@ -32,11 +32,22 @@ _F32_TINY = float(np.finfo(np.float32).tiny)
 
 def _log_clamped(x: jax.Array) -> jax.Array:
     """log(x) with torch BCELoss's value clamp max(log x, −100) and a
-    finite VJP at x = 0. Every normal float32 has log ≥ −87.34, so the
-    −100 branch fires only for x = 0 (and TPU-flushed denormals) — exactly
-    the inputs where torch returns −100."""
+    finite VJP at x = 0. Every normal float32 has log ≥ −87.34; below
+    _F32_TINY (denormals and 0) the value is max(log x, −100) computed
+    through stop_gradient, so the VJP stays 0 there instead of
+    1/denormal = inf.
+
+    Known deviation (PARITY.md): XLA flushes float32 denormals to zero in
+    EVERY op (measured: ``x * 2**64`` of a denormal is 0 on the CPU
+    backend), so denormal probabilities p ∈ (0, 1.2e−38) behave as 0 and
+    take the −100 clamp, where torch-on-CPU returns the true
+    log p ∈ (−87.3, −104). Unreachable from any [0,1]-producing op under
+    the same flushing; asserted by
+    tests/test_losses.py::test_bce_denormal_probs_flush_to_clamp."""
     safe = jnp.log(jnp.maximum(x, _F32_TINY))  # grad 0 where the max clamps
-    return jnp.where(x < _F32_TINY, jnp.float32(_LOG_CLAMP), safe)
+    denorm = jnp.maximum(jnp.log(jax.lax.stop_gradient(x)),
+                         jnp.float32(_LOG_CLAMP))
+    return jnp.where(x < _F32_TINY, denorm, safe)
 
 
 def _log1m_clamped(p: jax.Array) -> jax.Array:

@@ -102,7 +102,8 @@ class Throughput:
     def rate(self) -> float:
         if self.start is None:
             return 0.0
-        end = self._paused_at or time.perf_counter()
+        end = (time.perf_counter() if self._paused_at is None
+               else self._paused_at)
         dt = end - self.start - self._excluded
         return self.images / dt if dt > 0 else 0.0
 
@@ -118,15 +119,16 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
         return "N/A"
     import zipfile
 
+    from ..eval.fid import StatsFileError, get_fid_from_samples
+
     try:
-        from ..eval.fid import get_fid_from_samples
         samples = generate_fid_samples(
             decode_fn, epoch, cfg.n_samples, cfg.n_hidden, path,
             rng_seed=cfg.seed + epoch)
         return get_fid_from_samples(samples, cfg.fid_path_pretrained,
                                     devices=devices)
     except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
-            PermissionError, zipfile.BadZipFile) as e:
+            PermissionError, zipfile.BadZipFile, StatsFileError) as e:
         # missing/unreadable/corrupt asset must not kill training
         print(f"[fid] skipped: {e}")
         return "N/A"
@@ -394,7 +396,14 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         return exp.decode(exp.eg_state, z)
 
     start_epoch = 0
-    if cfg.load_path and len(cfg.load_path) < 2:
+    if cfg.load_path and len(cfg.load_path) > 1:
+        # the celebA runners run a multi-checkpoint EVAL sweep for >1 path;
+        # families have no eval sweep — silently training from scratch
+        # (overwriting the listed checkpoints) would be the worst outcome
+        raise ValueError(
+            "birds/mnist take exactly one --load_path (resume); "
+            "multi-checkpoint eval sweeps are celebA-only")
+    if cfg.load_path:
         start_epoch, states = load_checkpoint(
             cfg.load_path[0], {"eg": exp.eg_state, "d": exp.d_state})
         exp.eg_state, exp.d_state = states["eg"], states["d"]

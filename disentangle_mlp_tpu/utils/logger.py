@@ -35,14 +35,21 @@ class Logger:
     def __init__(self, log_path: str, settings: Any):
         os.makedirs(log_path, exist_ok=True)
         stamp = datetime.now().strftime("%m_%d_%Y_%H_%M_%S")
-        self.log_file = os.path.join(log_path, f"log_{stamp}.json")
         # second-resolution stamps collide when runs start together (e.g.
-        # concurrent BO groups logging into one dir) — de-collide, never
-        # clobber an existing run's log
-        n = 1
-        while os.path.exists(self.log_file):
-            self.log_file = os.path.join(log_path, f"log_{stamp}_{n}.json")
-            n += 1
+        # concurrent BO groups logging into one dir). O_CREAT|O_EXCL
+        # RESERVES the name atomically — a check-then-act exists() loop
+        # would still let two same-second processes pick the same file.
+        n = 0
+        while True:
+            suffix = "" if n == 0 else f"_{n}"
+            self.log_file = os.path.join(log_path,
+                                         f"log_{stamp}{suffix}.json")
+            try:
+                os.close(os.open(self.log_file,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                n += 1
 
         if dataclasses.is_dataclass(settings) and not isinstance(settings, type):
             args: Any = {k: _jsonable(v) for k, v in dataclasses.asdict(settings).items()}

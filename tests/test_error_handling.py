@@ -83,3 +83,15 @@ def test_throughput_excludes_paused_time():
     time.sleep(0.05)
     np.testing.assert_allclose(meter.rate(), r1, rtol=0.05)
     meter.resume()
+
+
+def test_maybe_fid_bad_stats_keys_degrades(tmp_path):
+    """A stats .npz without mu/sigma is an ASSET problem: FID must degrade
+    to 'N/A', not kill the run."""
+    import numpy as np
+
+    bad = tmp_path / "bad_stats.npz"
+    np.savez(bad, mean=np.zeros(4), cov=np.eye(4))
+    cfg = _cfg(tmp_path, fid_path_pretrained=str(bad))
+    out = _maybe_fid(cfg, _decode, 0, cfg.fid_path_samples)
+    assert out == "N/A"

@@ -95,3 +95,22 @@ def test_vae_loss_composition():
     parts = float(reconstruction_loss(jnp.asarray(r), jnp.asarray(x))) + \
         float(kld(jnp.asarray(mu), jnp.asarray(lv)))
     np.testing.assert_allclose(total, parts, rtol=1e-6)
+
+
+def test_bce_denormal_probs_flush_to_clamp():
+    """Documented deviation (PARITY.md / ops/losses.py): XLA flushes f32
+    denormals to zero in every op, so denormal probabilities take the -100
+    clamp (torch-on-CPU would return the true log in (-87.3, -104) for the
+    larger denormals). The clamp value and a finite VJP are the contract
+    here; torch agrees wherever the backend can represent the input."""
+    probs = np.array([1e-40, 1e-44, 1.4e-45, 0.0], np.float32)
+    targets = np.ones_like(probs)
+    ours = float(bce(jnp.asarray(probs), jnp.asarray(targets)))
+    np.testing.assert_allclose(ours, 100.0, rtol=1e-6)
+    # torch on the SAME effective input (flushed to zero) matches exactly
+    want = float(torch.nn.BCELoss()(torch.from_numpy(np.zeros(4, np.float32)),
+                                    torch.from_numpy(targets)))
+    np.testing.assert_allclose(ours, want, rtol=1e-6)
+    # VJP stays finite at the denormal/zero inputs
+    g = jax.grad(lambda p: bce(p, jnp.asarray(targets)))(jnp.asarray(probs))
+    assert np.isfinite(np.asarray(g)).all()

@@ -147,7 +147,7 @@ def test_mnist_loader_real_idx_files(tmp_path):
 
 
 def test_hostshard_selftest():
-    from disentangle_mlp_tpu.data.pipeline import hostshard_selftest
+    from disentangle_mlp_tpu.data.selftest import hostshard_selftest
     hostshard_selftest()
 
 
