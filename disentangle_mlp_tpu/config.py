@@ -92,6 +92,14 @@ class Config:
     # trains only the stated sub-network per phase with true torch-freeze
     # semantics (train/vaegan.py docstring).
     freeze_mode: str = "observed"
+    # BatchNorm statistics groups. 1 (default) = global-batch statistics,
+    # the TPU-native improvement. 2 emulates the published runs' torch
+    # DataParallel semantics exactly: the 256-batch was split across two
+    # K80s, each replica normalized its 128-image half with its OWN batch
+    # statistics, and only replica 0's half updated the running stats
+    # (new_betavaegan.py:42-44; models/layers.py _ManualBN). Strictest
+    # 'observed'-fidelity knob for the β=25 FID ±2 target.
+    bn_groups: int = 1
     # Compute dtype for model forward/backward ('bfloat16' or 'float32').
     # Params and optimizer state are always float32.
     dtype: str = "bfloat16"
@@ -227,6 +235,9 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
 
     p.add_argument("--freeze_mode", type=str, default=d.freeze_mode,
                    choices=["observed", "intent"])
+    p.add_argument("--bn_groups", type=int, default=d.bn_groups,
+                   help="BatchNorm statistics groups: 1 = global batch "
+                        "(TPU-native), 2 = per-GPU DataParallel emulation")
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=["bfloat16", "float32"])
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)

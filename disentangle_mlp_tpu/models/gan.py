@@ -38,11 +38,13 @@ class DiscriminatorCeleba(nn.Module):
     feature_dim: int = 2048
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    bn_groups: int = 1
 
     def setup(self):
         dt = self.dtype
         c1, c2, c3, c4 = self.channels
-        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
+        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name,
+                               groups=self.bn_groups)
         self.conv1, self.bn1 = TorchConv(c1, 5, stride=1, padding=2, dtype=dt), bn()
         self.conv2, self.bn2 = TorchConv(c2, 5, stride=2, padding=2, dtype=dt), bn()
         self.conv3, self.bn3 = TorchConv(c3, 5, stride=2, padding=2, dtype=dt), bn()

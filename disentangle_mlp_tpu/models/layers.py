@@ -174,6 +174,7 @@ class _ManualBN(nn.Module):
     axis_name: Optional[str] = None
     momentum: float = 0.9
     epsilon: float = 1e-5
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
@@ -188,6 +189,8 @@ class _ManualBN(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32),
                                (features,))
 
+        if not use_running_average and self.groups > 1:
+            return self._grouped(x, scale, bias, ra_mean, ra_var)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -200,8 +203,21 @@ class _ManualBN(nn.Module):
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
+                # torch parity: normalization uses the biased batch
+                # variance, but running_var accumulates the UNBIASED
+                # (Bessel-corrected) estimate — n/(n−1) over the reduced
+                # element count (torch BatchNorm semantics; caught by the
+                # composed-dynamics test tests/test_torch_trajectory.py —
+                # the factor is 1.004 for a batch-256 1d BN but 4/3 at
+                # toy-test widths).
+                n = 1
+                for ax in reduce_axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                bessel = n / (n - 1) if n > 1 else 1.0
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * var
+                ra_var.value = m * ra_var.value + (1.0 - m) * var * bessel
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         # fold (x − μ)·inv + β into x·inv + (β − μ·inv): one multiply-add in
@@ -210,6 +226,43 @@ class _ManualBN(nn.Module):
         y = x.astype(self.dtype) * inv.astype(self.dtype) \
             + shift.astype(self.dtype)
         return y
+
+    def _grouped(self, x, scale, bias, ra_mean, ra_var) -> jax.Array:
+        """torch-DataParallel BN emulation (``--bn_groups g``): split the
+        batch into g contiguous groups, normalize each with its OWN batch
+        statistics, and update running stats from group 0 only — exactly
+        what DataParallel does (each replica normalizes its scatter slice;
+        buffer updates survive only on device 0, whose replica shares the
+        master module's storage). The published runs trained this way on
+        2× K80 (reference: new_betavaegan.py:42-44)."""
+        if self.axis_name is not None:
+            raise ValueError("bn_groups is a single-process DataParallel "
+                             "emulation; combine it with cross-replica "
+                             "axis_name statistics is contradictory")
+        b = x.shape[0]
+        if b % self.groups:
+            raise ValueError(
+                f"batch {b} must divide bn_groups={self.groups}")
+        per = b // self.groups
+        xg = x.reshape((self.groups, per) + x.shape[1:]).astype(jnp.float32)
+        axes = tuple(range(1, xg.ndim - 1))
+        gmean = jnp.mean(xg, axis=axes)                      # (g, C)
+        gmean2 = jnp.mean(jnp.square(xg), axis=axes)
+        gvar = jnp.maximum(gmean2 - jnp.square(gmean), 0.0)  # biased
+        if not self.is_initializing():
+            n = per
+            for ax in axes[1:]:
+                n *= xg.shape[ax]
+            bessel = n / (n - 1) if n > 1 else 1.0
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * gmean[0]
+            ra_var.value = m * ra_var.value + (1.0 - m) * gvar[0] * bessel
+        inv = jax.lax.rsqrt(gvar + self.epsilon) * scale     # (g, C)
+        shift = bias - gmean * inv
+        bshape = (self.groups,) + (1,) * (xg.ndim - 2) + (x.shape[-1],)
+        y = xg.astype(self.dtype) * inv.reshape(bshape).astype(self.dtype) \
+            + shift.reshape(bshape).astype(self.dtype)
+        return y.reshape(x.shape)
 
 
 class BatchNorm(nn.Module):
@@ -221,6 +274,7 @@ class BatchNorm(nn.Module):
     use_running_average: bool = False
     axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -228,7 +282,7 @@ class BatchNorm(nn.Module):
         ura = (self.use_running_average if use_running_average is None
                else use_running_average)
         return _ManualBN(dtype=self.dtype, axis_name=self.axis_name,
-                         name="bn")(x, ura)
+                         groups=self.groups, name="bn")(x, ura)
 
 
 def flatten_batch(x: jax.Array) -> jax.Array:

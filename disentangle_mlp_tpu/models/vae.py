@@ -47,11 +47,13 @@ class CelebaEncoder(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    bn_groups: int = 1
 
     def setup(self):
         rs, dt = self.representation_size, self.dtype
         conv = lambda ch: TorchConv(ch, 5, stride=2, padding=2, dtype=dt)
-        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
+        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name,
+                               groups=self.bn_groups)
         lin = lambda f: TorchLinear(f, dtype=dt)
         self.conv1, self.bn1 = conv(rs), bn()
         self.conv2, self.bn2 = conv(rs * 2), bn()
@@ -84,13 +86,15 @@ class CelebaDecoder(nn.Module):
     output_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    bn_groups: int = 1
 
     def setup(self):
         dt = self.dtype
         ch, h, w = self.n_z
         c1, c2, c3 = self.channels
         self._reshape_to = (h, w, ch)
-        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name)
+        bn = lambda: BatchNorm(dtype=dt, axis_name=self.bn_axis_name,
+                               groups=self.bn_groups)
         self.preprocess = TorchLinear(ch * h * w, dtype=dt)
         self.pre_bn = bn()
         dconv = lambda c, s, op: TorchConvTranspose(
@@ -125,6 +129,7 @@ class VAE(nn.Module):
     input_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_axis_name: Any = None
+    bn_groups: int = 1
 
     def setup(self):
         self.encoder = CelebaEncoder(
@@ -134,6 +139,7 @@ class VAE(nn.Module):
             input_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            bn_groups=self.bn_groups,
         )
         self.decoder = CelebaDecoder(
             n_hidden=self.n_hidden,
@@ -142,6 +148,7 @@ class VAE(nn.Module):
             output_channels=self.input_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            bn_groups=self.bn_groups,
         )
 
     def encode(self, x: jax.Array, train: bool = True):

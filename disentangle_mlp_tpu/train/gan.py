@@ -39,15 +39,18 @@ class GANExperiment:
 
 def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
     dtype = jnp.dtype(cfg.dtype)
+    bn_groups = getattr(cfg, "bn_groups", 1)
     generator = GeneratorCeleba(
         n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
         channels=tuple(cfg.decoder_channels),
         output_channels=cfg.input_channels, dtype=dtype,
+        bn_groups=bn_groups,
     )
     discriminator = DiscriminatorCeleba(
         n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
         channels=tuple(cfg.disc_channels),
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
+        bn_groups=bn_groups,
     )
     tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
 

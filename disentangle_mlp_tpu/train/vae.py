@@ -39,6 +39,7 @@ def _model_from_config(cfg: Config) -> VAE:
         decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels,
         dtype=jnp.dtype(cfg.dtype),
+        bn_groups=getattr(cfg, "bn_groups", 1),
     )
 
 

@@ -82,17 +82,20 @@ class VAEGANExperiment:
 
 def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
     dtype = jnp.dtype(cfg.dtype)
+    bn_groups = getattr(cfg, "bn_groups", 1)
     vae = VAE(
         n_hidden=cfg.n_hidden, n_z=tuple(cfg.n_z),
         representation_size=cfg.representation_size,
         head_width=cfg.head_width,
         decoder_channels=tuple(cfg.decoder_channels),
         input_channels=cfg.input_channels, dtype=dtype,
+        bn_groups=bn_groups,
     )
     discriminator = DiscriminatorCeleba(
         n_z=tuple(cfg.n_z), input_channels=cfg.input_channels,
         channels=tuple(cfg.disc_channels),
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
+        bn_groups=bn_groups,
     )
     tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
     beta_value = jnp.float32(cfg.beta)
