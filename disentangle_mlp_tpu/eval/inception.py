@@ -331,12 +331,19 @@ def _run_block_e(x, p, spec, dtype, pool: str):
 
 
 def pool3_features(params: Dict, images01: jax.Array,
-                   dtype=jnp.bfloat16) -> jax.Array:
+                   dtype=jnp.float32) -> jax.Array:
     """NHWC images in [0, 1] → (N, 2048) pool3 activations.
 
     Mirrors the PyTorch port's preprocessing (scoring/inception.py:146-153):
-    bilinear resize to 299×299, scale to [-1, 1], then the FID-patched
-    InceptionV3 up to the global average pool."""
+    bilinear resize to 299×299 (half-pixel centers — torch
+    ``align_corners=False``; pinned vs torch at 64×64 by
+    tests/test_inception_parity.py), scale to [-1, 1], then the FID-patched
+    InceptionV3 up to the global average pool.
+
+    ``dtype`` is the conv compute dtype. float32 default: the ±2-point FID
+    build target leaves no budget for bf16 activation drift through 94
+    convs (VERDICT r2); pass jnp.bfloat16 for throughput-bound scoring
+    (measured delta/cost: benchmarks/README_PERF.md)."""
     x = images01.astype(jnp.float32)
     if x.shape[1] != 299 or x.shape[2] != 299:
         x = jax.image.resize(
