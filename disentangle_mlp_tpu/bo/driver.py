@@ -34,6 +34,14 @@ REFERENCE_OBSERVATIONS: Tuple[Tuple[float, float], ...] = (
 )
 
 
+class GridExhausted(RuntimeError):
+    """Every grid point has been observed (or claimed by a constant-liar
+    lie): there is no untried candidate left to propose. Raised instead of
+    silently returning grid[0] k times — duplicate proposals would train
+    into the same <save_path>/<name>_betaX tree concurrently, corrupting
+    checkpoints and FID samples."""
+
+
 @dataclasses.dataclass
 class BetaSearch:
     objective: Callable[[float], float]
@@ -68,6 +76,10 @@ class BetaSearch:
         gp = self.fit_gp()
         ei = expected_improvement(gp, self.grid, xi=self.xi)
         tried = np.isin(self.grid, np.asarray(self.betas))
+        if tried.all():
+            raise GridExhausted(
+                f"all {self.grid.size} grid points in "
+                f"[{self.grid_lo}, {self.grid_hi}] have been observed")
         ei = np.where(tried, -np.inf, ei)
         return float(self.grid[int(np.argmax(ei))])
 
@@ -109,7 +121,13 @@ class BetaSearch:
                                  noise_var=1e-6).fit(
                 np.asarray(betas), np.asarray(fids))
             ei = expected_improvement(gp, self.grid, xi=self.xi)
-            ei = np.where(np.isin(self.grid, np.asarray(betas)), -np.inf, ei)
+            claimed = np.isin(self.grid, np.asarray(betas))
+            if claimed.all():
+                raise GridExhausted(
+                    f"only {len(out)} untried grid points remain for a "
+                    f"batch of {k} — shrink the group count or widen the "
+                    f"grid")
+            ei = np.where(claimed, -np.inf, ei)
             beta = float(self.grid[int(np.argmax(ei))])
             lie = float(gp.predict(np.asarray([beta]))[0][0])
             out.append(beta)
@@ -134,10 +152,23 @@ class BetaSearch:
                 batch = self.propose_batch(k)
                 futures = [pool.submit(obj, b)
                            for obj, b in zip(group_objectives, batch)]
+                # Gather EVERY future before raising: a failed group must
+                # not discard the finished FIDs of its round-mates (they
+                # are real observations, and observe() persists them to
+                # the history file for a restarted search).
+                first_error = None
                 for beta, fut in zip(batch, futures):
-                    fid = float(fut.result())
+                    try:
+                        fid = float(fut.result())
+                    except Exception as e:  # noqa: BLE001 — re-raised below
+                        if first_error is None:
+                            first_error = e
+                        print(f"[bo] beta={beta:.1f} FAILED: {e}")
+                        continue
                     self.observe(beta, fid)
                     print(f"[bo] beta={beta:.1f} -> FID={fid:.2f}")
+                if first_error is not None:
+                    raise first_error
         return self.best()
 
 

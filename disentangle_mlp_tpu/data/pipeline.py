@@ -92,8 +92,39 @@ def renormalize_pm1(batch_pm1: np.ndarray, mean, std) -> np.ndarray:
 
 
 # Decoded-image RAM cache size gate for ImageFolderSource(cache="auto").
+# The budget is GLOBAL across live sources: --bo_parallel k builds k
+# independent train loaders in one process, and k × ~2.4 GB of silent
+# uint8 caches would exhaust the single-CPU host's RAM.
 _DECODE_CACHE_LIMIT = int(os.environ.get(
     "DMT_DECODE_CACHE_BYTES", 4 * 1024 ** 3))
+_decode_cache_live_bytes = 0
+
+
+def _decode_cache_reserve(n_bytes: int, forced: bool) -> bool:
+    """Claim ``n_bytes`` of the global decode-cache budget. Under "auto"
+    the claim is refused once the budget is spoken for (the source then
+    runs uncached); "on" always succeeds but warns past the budget. The
+    claim is released by a weakref.finalize when the source is collected."""
+    global _decode_cache_live_bytes
+    if _decode_cache_live_bytes + n_bytes > _DECODE_CACHE_LIMIT:
+        if not forced:
+            if _decode_cache_live_bytes:
+                print(f"[data] decode cache disabled: "
+                      f"{_decode_cache_live_bytes / 2**20:.0f} MiB already "
+                      f"live in this process (budget "
+                      f"{_DECODE_CACHE_LIMIT / 2**20:.0f} MiB; raise "
+                      f"DMT_DECODE_CACHE_BYTES or pass cache='on')")
+            return False
+        print(f"[data] WARNING: cache='on' exceeds the global decode-cache "
+              f"budget ({(_decode_cache_live_bytes + n_bytes) / 2**20:.0f} "
+              f"MiB live > {_DECODE_CACHE_LIMIT / 2**20:.0f} MiB)")
+    _decode_cache_live_bytes += n_bytes
+    return True
+
+
+def _decode_cache_release(n_bytes: int) -> None:
+    global _decode_cache_live_bytes
+    _decode_cache_live_bytes -= n_bytes
 
 
 class ImageFolderSource:
@@ -108,8 +139,10 @@ class ImageFolderSource:
     the native resize is PIL-exact), so caching uint8 is lossless and
     cheap: all of CelebA-64 is 202,599 × 64×64×3 ≈ 2.4 GB of host RAM.
     Epoch 1 decodes and fills; epochs 2+ are a RAM gather + one affine.
-    "auto" enables the cache when the full dataset fits under
-    ``DMT_DECODE_CACHE_BYTES`` (default 4 GiB).
+    "auto" enables the cache when the full dataset fits under the
+    remaining ``DMT_DECODE_CACHE_BYTES`` budget (default 4 GiB) — the
+    budget is global across live sources in the process, so k concurrent
+    parallel-β loaders share one allowance instead of multiplying it.
 
     Measured (2,000 CelebA-sized JPEGs → 64×64, 8 threads, this host):
     uncached 1,100-1,190 img/s every epoch; cached 1,082 img/s epoch 1
@@ -141,8 +174,11 @@ class ImageFolderSource:
             # a typo must not silently run every epoch at decode speed
             raise ValueError(f"cache must be auto/on/off, got {cache!r}")
         n_bytes = len(self.samples) * img_size * img_size * 3
-        use_cache = (cache == "on"
-                     or (cache == "auto" and n_bytes <= _DECODE_CACHE_LIMIT))
+        use_cache = cache != "off" and _decode_cache_reserve(
+            n_bytes, forced=(cache == "on"))
+        if use_cache:
+            import weakref
+            weakref.finalize(self, _decode_cache_release, n_bytes)
         self._cache = (np.zeros(
             (len(self.samples), img_size, img_size, 3), np.uint8)
             if use_cache else None)
@@ -452,6 +488,18 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def uses_real_mnist(opt) -> bool:
+    """True when :func:`get_data_loader` will route ``--dataset mnist`` to
+    the real idx-file MNISTSource rather than the synthetic fallback —
+    the same decision ``make`` takes below. Lets callers (families.py)
+    validate loader-specific constraints (1-channel input) only when the
+    real loader is actually in play."""
+    if bool(getattr(opt, "synthetic_data", False)):
+        return False
+    root = opt.image_root_train
+    return os.path.isdir(root) and find_mnist_files(root) is not None
 
 
 def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):

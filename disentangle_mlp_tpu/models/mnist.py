@@ -47,15 +47,21 @@ class MnistEncoder(nn.Module):
 
 
 class MnistGenerator(nn.Module):
-    """Latent feature map (B, 7, 7, 4) for 28×28 MNIST → (B, 28, 28, 1)."""
+    """Latent feature map (B, 7, 7, 4) for 28×28 MNIST → (B, 28, 28, C).
+
+    ``out_channels`` defaults to the reference's hard-coded 1
+    (model.py:143-155); synthetic-data runs may ask for 3 so the recon can
+    feed the 3-channel discriminator/encoder (families.py passes
+    cfg.input_channels)."""
 
     dtype: Any = jnp.float32
+    out_channels: int = 1
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
         h = nn.ConvTranspose(16, (2, 2), strides=(2, 2))(z)
         h = nn.relu(h)
-        h = nn.ConvTranspose(1, (2, 2), strides=(2, 2))(h)
+        h = nn.ConvTranspose(self.out_channels, (2, 2), strides=(2, 2))(h)
         return jax.nn.sigmoid(h)
 
 

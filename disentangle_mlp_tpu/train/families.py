@@ -80,15 +80,20 @@ def _build_models(cfg: Config) -> Tuple[FamilyVAE, nn.Module, int]:
         if cfg.img_size % 4:
             raise ValueError("mnist encoder pools 2x2 twice; "
                              "--img_size must be divisible by 4")
-        if cfg.input_channels != 1:
-            # the MNIST idx loader yields 1-channel batches; initializing
-            # the models on the 3-channel default would crash at step 1
+        from ..data.pipeline import uses_real_mnist
+        if cfg.input_channels != 1 and uses_real_mnist(cfg):
+            # the real MNIST idx loader yields 1-channel batches;
+            # initializing the models on the 3-channel default would crash
+            # at step 1. The synthetic fallback honours --input_channels,
+            # so synthetic-data mnist runs stay valid at any channel count.
             raise ValueError("mnist is single-channel; pass "
                              "--input_channels 1")
         hw = cfg.img_size // 4  # encoder downsamples 2×2 pooling twice
         z_dim = hw * hw * 4
         vae = FamilyVAE(encoder=MnistEncoder(dtype=dtype),
-                        generator=MnistGenerator(dtype=dtype), latent_hw=hw)
+                        generator=MnistGenerator(
+                            dtype=dtype, out_channels=cfg.input_channels),
+                        latent_hw=hw)
         return vae, MnistDiscriminator(dtype=dtype), z_dim
     raise ValueError(f"no model family for dataset {cfg.dataset!r}")
 

@@ -154,6 +154,11 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         exp.state = states["model"]
         if mesh is not None:  # restored host arrays: back onto the mesh
             exp.state = replicate(exp.state, mesh)
+    elif cfg.load_path and len(cfg.load_path) > 1 and cfg.to_train:
+        # the reference silently trains FROM SCRATCH here (new_vae.py:79-80
+        # loads nothing for ≥2 paths), clobbering the listed checkpoints'
+        # run tree — same hardening as run_gan
+        raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
     ckpt = AsyncCheckpointer()
@@ -299,6 +304,10 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
         if mesh is not None:
             exp.eg_state = replicate(exp.eg_state, mesh)
             exp.d_state = replicate(exp.d_state, mesh)
+    elif cfg.load_path and len(cfg.load_path) > 1 and cfg.to_train:
+        # reference quirk (new_betavaegan.py:215-216): ≥2 paths + to_train
+        # silently trains from scratch; raise like run_gan instead
+        raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
     ckpt = AsyncCheckpointer()

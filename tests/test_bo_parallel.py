@@ -148,3 +148,38 @@ def test_setup_parallel_rejects_nondividing_explicit_group(tmp_path):
     cfg = _tiny_run_cfg(tmp_path, "nd", batch_size_train=6)
     with pytest.raises(ValueError, match="divide"):
         _setup_parallel(cfg, devices=jax.devices()[:4])
+
+
+def test_propose_raises_when_grid_exhausted():
+    """Advisor r2: an exhausted grid must stop the search, not silently
+    propose grid[0] duplicates (which would collide run directories)."""
+    from disentangle_mlp_tpu.bo.driver import GridExhausted
+
+    search = BetaSearch(objective=lambda b: 0.0, grid_lo=1.0, grid_hi=4.0,
+                        grid_step=1.0)
+    search.seed(((1.0, 10.0), (2.0, 11.0)))
+    with pytest.raises(GridExhausted):
+        search.propose_batch(3)  # only 2 untried points remain
+    search.observe(3.0, 9.0)
+    search.observe(4.0, 9.5)
+    with pytest.raises(GridExhausted):
+        search.propose()
+
+
+def test_run_parallel_observes_survivors_before_raising():
+    """Advisor r2: one failing group objective must not discard the
+    finished FIDs of its round-mates — they are observed (and persisted)
+    before the failure re-raises."""
+    search = _seeded_search()
+    n0 = len(search.betas)
+
+    def ok(beta: float) -> float:
+        return 100.0
+
+    def boom(beta: float) -> float:
+        raise RuntimeError("FID degraded to N/A")
+
+    with pytest.raises(RuntimeError, match="FID degraded"):
+        search.run_parallel(1, [ok, boom])
+    assert len(search.betas) == n0 + 1, "the surviving FID was observed"
+    assert search.fids[-1] == 100.0

@@ -251,3 +251,62 @@ def test_cache_flag_validated_and_train_only(tmp_path):
     assert train.source._cache is not None
     assert val.source._cache is None
     assert test.source._cache is None
+
+
+def test_decode_cache_budget_is_global(tmp_path, monkeypatch):
+    """Advisor r2: k concurrent loaders (parallel-β) share ONE decode-cache
+    budget — the second 'auto' source past the budget runs uncached instead
+    of silently doubling host RAM."""
+    from PIL import Image
+
+    from disentangle_mlp_tpu.data import pipeline as P
+
+    root = tmp_path / "imgs" / "cls"
+    root.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(
+            np.full((8, 8, 3), 40 * i, np.uint8)).save(root / f"{i}.jpg")
+
+    import gc
+
+    gc.collect()  # release claims of dead sources from earlier tests
+    per_source = 4 * 8 * 8 * 3
+    baseline_live = P._decode_cache_live_bytes
+    # budget = whatever is already claimed in-process + room for ONE source
+    monkeypatch.setattr(P, "_DECODE_CACHE_LIMIT",
+                        baseline_live + int(per_source * 1.5))
+
+    a = P.ImageFolderSource(str(root.parent), img_size=8, cache="auto")
+    b = P.ImageFolderSource(str(root.parent), img_size=8, cache="auto")
+    assert a._cache is not None, "first source fits the budget"
+    assert b._cache is None, "second source must not exceed the budget"
+    assert P._decode_cache_live_bytes == baseline_live + per_source
+
+    # cache='on' is honoured past the budget (with a warning), and
+    # releasing sources returns their claim
+    c = P.ImageFolderSource(str(root.parent), img_size=8, cache="on")
+    assert c._cache is not None
+    del a, b, c
+    import gc
+
+    gc.collect()
+    assert P._decode_cache_live_bytes == baseline_live
+
+
+def test_mnist_synthetic_allows_default_channels(tmp_path):
+    """Advisor r2: synthetic-data mnist runs honour --input_channels (the
+    SyntheticSource yields whatever is asked); the 1-channel requirement
+    applies only when the real idx loader is in play."""
+    import jax
+
+    from disentangle_mlp_tpu.train.families import create_family_experiment
+
+    cfg = Config(name="mn3", dataset="mnist", img_size=28, input_channels=3,
+                 n_hidden=8, batch_size_train=4, synthetic_data=True,
+                 synthetic_train_size=8, dtype="float32",
+                 save_path=str(tmp_path / "%"),
+                 log_path=str(tmp_path / "%/log")).finalize()
+    exp = create_family_experiment(cfg, jax.random.key(0))
+    x = np.zeros((4, 28, 28, 3), np.float32)
+    eg, d, m = exp.train_step(exp.eg_state, exp.d_state, x, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
