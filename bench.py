@@ -87,7 +87,7 @@ def tpu_images_per_sec() -> dict:
         eg, d, m = multi(exp.eg_state, exp.d_state, batches,
                          jax.random.key(0))
         float(m["recon_enc"][-1])
-        runs[mode] = {"multi": multi, "eg": eg, "d": d, "best": 0.0}
+        runs[mode] = {"multi": multi, "eg": eg, "d": d, "rates": []}
 
     for w in range(WINDOWS):
         for mode, r in runs.items():  # interleave modes within each window
@@ -97,8 +97,14 @@ def tpu_images_per_sec() -> dict:
             value = float(m["recon_enc"][-1])
             dt = time.perf_counter() - t0
             assert value == value, "training metric went NaN during bench"
-            r["best"] = max(r["best"], BATCH * TIMED_STEPS / dt)
-    return {mode: r["best"] for mode, r in runs.items()}
+            r["rates"].append(BATCH * TIMED_STEPS / dt)
+    # {best, median}: best is the headline (the chip's delivered rate
+    # drifts — a single window under-reports capability), the median makes
+    # round-over-round comparisons separable from drift (VERDICT r2 #9).
+    import statistics
+    return {mode: {"best": max(r["rates"]),
+                   "median": statistics.median(r["rates"])}
+            for mode, r in runs.items()}
 
 
 def baseline_images_per_sec() -> float:
@@ -119,13 +125,18 @@ def main() -> None:
     base = baseline_images_per_sec()
     print(json.dumps({
         "metric": "beta-VAE-GAN train throughput (batch 256, bf16, 1 chip)",
-        "value": round(rates["observed"], 2),
+        "value": round(rates["observed"]["best"], 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(rates["observed"] / base, 2),
+        "vs_baseline": round(rates["observed"]["best"] / base, 2),
+        # median across the timed windows: the drift-robust companion to
+        # the best-window headline (round-over-round deltas in the median
+        # are real wins; deltas only in the best are chip drift)
+        "value_median": round(rates["observed"]["median"], 2),
         # true-torch-freeze production mode (freeze_mode=intent): skips the
         # frozen sub-network's backward + Adam traffic per phase; measured
         # in the same process, windows interleaved with the headline mode
-        "intent_mode_value": round(rates["intent"], 2),
+        "intent_mode_value": round(rates["intent"]["best"], 2),
+        "intent_mode_median": round(rates["intent"]["median"], 2),
     }))
 
 

@@ -51,6 +51,28 @@ def calibration_fid(loader, stats_path: str, max_images: int) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
+def _curve_shape(cfg: Config) -> Dict:
+    """FID curve-shape check over the run's per-epoch log (VERDICT r2 #5,
+    asserted here — at full size, where FID is meaningful — rather than in
+    the toy-width unit suite, where the random-weight Inception does not
+    order quality at all; see tests/test_training_dynamics.py). Reference
+    shape: log_beta_vaegan_25.json 223.4 → 128.3 over 10 epochs, a 0.57
+    ratio; ``curve_ok`` requires final < 0.7 × initial."""
+    import pathlib
+
+    logs = sorted(pathlib.Path(cfg.log_path).glob("log_*.json"))
+    if not logs:
+        return {}
+    records = json.loads(logs[-1].read_text()).get("output", [])
+    fids = [r["FID"] for r in records
+            if isinstance(r.get("FID"), (int, float))]
+    out: Dict = {"fid_curve": fids}
+    if len(fids) >= 2:
+        out["curve_ratio"] = fids[-1] / fids[0]
+        out["curve_ok"] = bool(fids[-1] < 0.7 * fids[0])
+    return out
+
+
 def run_reproduction(cfg: Config, stats_out: str,
                      stats_images: int = 50000,
                      calib_images: int = 50000,
@@ -104,6 +126,7 @@ def run_reproduction(cfg: Config, stats_out: str,
         last = run_vaegan(run_cfg)
         report["final_fid"] = last.get("FID", "N/A")
         report["images_per_sec"] = last.get("images_per_sec")
+        report.update(_curve_shape(run_cfg))
         if isinstance(report["final_fid"], (int, float)):
             report["within_tolerance"] = bool(
                 abs(report["final_fid"] - FID_TARGET) <= FID_TOLERANCE

@@ -13,9 +13,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def test_dryrun_multichip_in_process():
+def test_dryrun_multichip_in_process(monkeypatch):
     import __graft_entry__ as g
 
+    # the 2-process pod path is covered directly by tests/test_multiprocess.py
+    monkeypatch.setenv("DMT_DRYRUN_POD", "0")
     assert len(jax.devices()) >= 8  # conftest forces 8 virtual CPU devices
     g.dryrun_multichip(8)
 
@@ -27,6 +29,7 @@ def test_dryrun_multichip_bootstraps_from_one_device():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "DMT_DRYRUN_CHILD")}
     env["JAX_PLATFORMS"] = "cpu"  # 1 CPU device in the parent
+    env["DMT_DRYRUN_POD"] = "0"  # pod path covered by test_multiprocess.py
     code = ("import jax, __graft_entry__ as g; "
             "assert len(jax.devices()) == 1, jax.devices(); "
             "g.dryrun_multichip(4)")

@@ -68,3 +68,47 @@ def test_reproduction_calibration_falls_back_on_empty_split(tmp_path):
                               stats_images=16, calib_images=16,
                               skip_train=True)
     assert isinstance(report["calibration_fid"], float)
+
+
+def test_assets_check_reports_ready_missing(tmp_path, capsys):
+    """--assets_check (VERDICT r2 #10): one command prints a JSON
+    ready/missing report for the two reproduction assets without running
+    anything or creating run directories."""
+    import json
+
+    from disentangle_mlp_tpu.cli.reproduce import main
+
+    main(["--name", "ac", "--assets_check",
+          "--save_path", str(tmp_path / "%"),
+          "--log_path", str(tmp_path / "%/log")])
+    out = json.loads(capsys.readouterr().out)
+    assert {"inception_weights", "celeba_images", "ready"} <= set(out)
+    assert out["inception_weights"]["sha256_prefix"] == "6726825d"
+    assert set(out["celeba_images"]) == {"train", "val", "test"}
+    # no run tree side effects in check mode
+    assert not (tmp_path / "ac").exists()
+
+
+def test_assets_check_detects_present_assets(tmp_path, capsys, monkeypatch):
+    """With a CelebA-shaped image tree present, the report flips to ready
+    (weights still gated on the real file)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from disentangle_mlp_tpu.cli.reproduce import main
+
+    for split in ("train", "val", "test"):
+        d = tmp_path / "celebA" / split / "all"
+        d.mkdir(parents=True)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "0.jpg")
+    main(["--name", "ac2", "--assets_check",
+          "--image_root_train", str(tmp_path / "celebA" / "train"),
+          "--image_root_val", str(tmp_path / "celebA" / "val"),
+          "--image_root_test", str(tmp_path / "celebA" / "test"),
+          "--save_path", str(tmp_path / "%"),
+          "--log_path", str(tmp_path / "%/log")])
+    out = json.loads(capsys.readouterr().out)
+    assert all(v["ready"] and v["n_images"] == 1
+               for v in out["celeba_images"].values())
