@@ -115,6 +115,12 @@ class Config:
     # behaviour; rotation was the intent of its scratch prototype,
     # experiments/test.py:343-345).
     keep_checkpoints: int = 0
+    # Save a checkpoint every N epochs (1 = every epoch, the reference's
+    # cadence — new_betavaegan.py:222-228; 0 = never). The full-size
+    # checkpoint is ~1.3 GB; over a slow host link per-epoch saves can
+    # dominate wall time, so sweeps that don't need resume (e.g. the BO
+    # search's inner runs, trajectory benchmarks) can turn them off.
+    checkpoint_every: int = 1
     # Decoded-image RAM cache for folder datasets ("auto"/"on"/"off"):
     # JPEG decode delivers ~1,300 img/s vs the ~5,200 img/s train step, so
     # epochs 2+ read resized uint8 images from host RAM instead
@@ -246,6 +252,8 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--resnet18_ckpt", type=str, default=d.resnet18_ckpt)
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
+    p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every,
+                   help="save a checkpoint every N epochs (0 = never)")
     p.add_argument("--cache_decoded", type=str,
                    default=d.cache_decoded,
                    choices=["auto", "on", "off"])

@@ -70,6 +70,15 @@ def _curve_shape(cfg: Config) -> Dict:
     if len(fids) >= 2:
         out["curve_ratio"] = fids[-1] / fids[0]
         out["curve_ok"] = bool(fids[-1] < 0.7 * fids[0])
+        # the synthetic 2048-image set destabilizes after ~epoch 4 (the
+        # discriminator overfits the tiny set; identical curve in rounds
+        # 2 and 3 with bit-matching epoch losses) — record the best epoch
+        # too, since a checkpoint sweep would select it; curve_ok targets
+        # the reference's monotone CelebA shape once assets land
+        best = min(range(len(fids)), key=fids.__getitem__)
+        out["fid_min"] = fids[best]
+        out["fid_min_epoch"] = best
+        out["curve_min_ok"] = bool(fids[best] < 0.7 * fids[0])
     return out
 
 

@@ -69,6 +69,16 @@ def _setup_parallel(cfg: Config, devices=None):
     return mesh, batch_sharding(mesh)
 
 
+
+def _ckpt_due(cfg: Config, epoch: int) -> bool:
+    """Per-epoch checkpointing is the reference cadence
+    (new_betavaegan.py:222-228); --checkpoint_every N thins it (0 = never)
+    for sweeps that don't need resume — the full-size ~1.3 GB save can
+    dominate wall time over a slow host link."""
+    every = getattr(cfg, "checkpoint_every", 1)
+    return bool(every) and (epoch + 1) % every == 0
+
+
 class Throughput:
     """images/sec meter — the north-star perf metric (BASELINE.json).
     The first ``warmup`` batches (XLA compilation) are excluded, and the
@@ -182,9 +192,10 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           f"Loss: {float(m['loss']) / x.shape[0]:.6f}")
             avg_loss = float(total_loss) / train_loader.dataset_size
             meter.pause()  # FID/checkpoint wall time is not train time
-            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}",
-                      epoch + 1, {"model": exp.state})
-            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+            if _ckpt_due(cfg, epoch):
+                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}",
+                          epoch + 1, {"model": exp.state})
+                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
                   f"FID: {fid} ({meter.rate():.1f} img/s)")
@@ -252,9 +263,10 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             n = train_loader.dataset_size
             avg_g, avg_d = float(sum_g) / n, float(sum_d) / n
             meter.pause()
-            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                      {"g": exp.g_state, "d": exp.d_state})
-            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+            if _ckpt_due(cfg, epoch):
+                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                          {"g": exp.g_state, "d": exp.d_state})
+                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
                   f"Average loss D: {avg_d:.4f} FID: {fid} "
@@ -331,9 +343,10 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
                 float(sums["recon_dec"]) / n
             dis_l, d_x = float(sums["dis"]) / n, float(sums["D_x"]) / n
             meter.pause()
-            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                      {"eg": exp.eg_state, "d": exp.d_state})
-            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+            if _ckpt_due(cfg, epoch):
+                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                          {"eg": exp.eg_state, "d": exp.d_state})
+                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
             # our Config defines it (config.py).
@@ -436,9 +449,10 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                 meter.add(x.shape[0])
             avg_loss = float(total) / train_loader.dataset_size
             meter.pause()
-            ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                      {"eg": exp.eg_state, "d": exp.d_state})
-            rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+            if _ckpt_due(cfg, epoch):
+                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                          {"eg": exp.eg_state, "d": exp.d_state})
+                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
             # FID needs 3-channel samples and z_dim == n_hidden; only the
             # birds generator satisfies both.
             fid = (_maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)

@@ -160,3 +160,17 @@ def test_multi_checkpoint_train_guard_unified(tmp_path, runner):
                         load_path=[ckpt, ckpt])
     with pytest.raises(ValueError, match="more than one model"):
         runner(cfg2)
+
+
+def test_checkpoint_every_zero_disables_saves(tmp_path):
+    """--checkpoint_every 0 trains without writing checkpoints (the
+    full-size save is ~1.3 GB; sweeps that never resume can skip it), and
+    N>1 thins the cadence to every Nth epoch."""
+    cfg = tiny_run_cfg(tmp_path, "ck0", epochs=2, checkpoint_every=0)
+    run_vae(cfg)
+    assert not list(Path(cfg.model_path).glob("model_*"))
+
+    cfg2 = tiny_run_cfg(tmp_path, "ck2", epochs=4, checkpoint_every=2)
+    run_vae(cfg2)
+    names = sorted(p.name for p in Path(cfg2.model_path).glob("model_*"))
+    assert names == ["model_2", "model_4"]
