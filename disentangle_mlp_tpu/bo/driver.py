@@ -93,7 +93,13 @@ class BetaSearch:
 
     def run(self, n_iterations: int) -> Dict[str, float]:
         for _ in range(n_iterations):
-            beta = self.propose()
+            try:
+                beta = self.propose()
+            except GridExhausted as e:
+                # a fully-observed grid is a COMPLETED search, not a
+                # failure — the accumulated observations must survive
+                print(f"[bo] stopping: {e}")
+                break
             fid = float(self.objective(beta))
             self.observe(beta, fid)
             print(f"[bo] beta={beta:.1f} -> FID={fid:.2f}")
@@ -124,9 +130,9 @@ class BetaSearch:
             claimed = np.isin(self.grid, np.asarray(betas))
             if claimed.all():
                 raise GridExhausted(
-                    f"only {len(out)} untried grid points remain for a "
-                    f"batch of {k} — shrink the group count or widen the "
-                    f"grid")
+                    f"grid fully observed/claimed after {len(out)} of the "
+                    f"requested {k} proposals — shrink the group count or "
+                    f"widen the grid")
             ei = np.where(claimed, -np.inf, ei)
             beta = float(self.grid[int(np.argmax(ei))])
             lie = float(gp.predict(np.asarray([beta]))[0][0])
@@ -149,7 +155,11 @@ class BetaSearch:
         k = len(group_objectives)
         with ThreadPoolExecutor(max_workers=k) as pool:
             for _ in range(n_rounds):
-                batch = self.propose_batch(k)
+                try:
+                    batch = self.propose_batch(k)
+                except GridExhausted as e:
+                    print(f"[bo] stopping: {e}")
+                    break
                 futures = [pool.submit(obj, b)
                            for obj, b in zip(group_objectives, batch)]
                 # Gather EVERY future before raising: a failed group must

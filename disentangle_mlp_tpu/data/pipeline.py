@@ -98,6 +98,10 @@ def renormalize_pm1(batch_pm1: np.ndarray, mean, std) -> np.ndarray:
 _DECODE_CACHE_LIMIT = int(os.environ.get(
     "DMT_DECODE_CACHE_BYTES", 4 * 1024 ** 3))
 _decode_cache_live_bytes = 0
+# reserve is check-then-act and the parallel-β search builds its k loaders
+# from ThreadPoolExecutor threads CONCURRENTLY — without the lock two
+# threads could both pass the budget check and over-claim
+_decode_cache_lock = threading.Lock()
 
 
 def _decode_cache_reserve(n_bytes: int, forced: bool) -> bool:
@@ -106,25 +110,28 @@ def _decode_cache_reserve(n_bytes: int, forced: bool) -> bool:
     runs uncached); "on" always succeeds but warns past the budget. The
     claim is released by a weakref.finalize when the source is collected."""
     global _decode_cache_live_bytes
-    if _decode_cache_live_bytes + n_bytes > _DECODE_CACHE_LIMIT:
-        if not forced:
-            if _decode_cache_live_bytes:
-                print(f"[data] decode cache disabled: "
-                      f"{_decode_cache_live_bytes / 2**20:.0f} MiB already "
-                      f"live in this process (budget "
-                      f"{_DECODE_CACHE_LIMIT / 2**20:.0f} MiB; raise "
-                      f"DMT_DECODE_CACHE_BYTES or pass cache='on')")
-            return False
-        print(f"[data] WARNING: cache='on' exceeds the global decode-cache "
-              f"budget ({(_decode_cache_live_bytes + n_bytes) / 2**20:.0f} "
-              f"MiB live > {_DECODE_CACHE_LIMIT / 2**20:.0f} MiB)")
-    _decode_cache_live_bytes += n_bytes
+    with _decode_cache_lock:
+        if _decode_cache_live_bytes + n_bytes > _DECODE_CACHE_LIMIT:
+            if not forced:
+                if _decode_cache_live_bytes:
+                    print(f"[data] decode cache disabled: "
+                          f"{_decode_cache_live_bytes / 2**20:.0f} MiB "
+                          f"already live in this process (budget "
+                          f"{_DECODE_CACHE_LIMIT / 2**20:.0f} MiB; raise "
+                          f"DMT_DECODE_CACHE_BYTES or pass cache='on')")
+                return False
+            print(f"[data] WARNING: cache='on' exceeds the global "
+                  f"decode-cache budget "
+                  f"({(_decode_cache_live_bytes + n_bytes) / 2**20:.0f} "
+                  f"MiB live > {_DECODE_CACHE_LIMIT / 2**20:.0f} MiB)")
+        _decode_cache_live_bytes += n_bytes
     return True
 
 
 def _decode_cache_release(n_bytes: int) -> None:
     global _decode_cache_live_bytes
-    _decode_cache_live_bytes -= n_bytes
+    with _decode_cache_lock:
+        _decode_cache_live_bytes -= n_bytes
 
 
 class ImageFolderSource:

@@ -47,10 +47,17 @@ FID_BATCH = 100
 FEATURE_DTYPE = os.environ.get("DMT_FID_DTYPE", "float32")
 
 
-@functools.lru_cache(maxsize=4)
 def _jitted_features(dtype: str = None):
+    # normalize BEFORE the cache: dtype=None and dtype='float32' must hit
+    # the SAME jit closure, or the multi-minute Inception compile runs
+    # twice for one compute dtype
+    return _jitted_features_cached(jnp.dtype(dtype or FEATURE_DTYPE).name)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_features_cached(dtype_name: str):
     params, pretrained = get_params_cached()
-    feat_dtype = jnp.dtype(dtype or FEATURE_DTYPE)
+    feat_dtype = jnp.dtype(dtype_name)
 
     @jax.jit
     def run(images01):
@@ -243,7 +250,16 @@ def statistics_from_dir(path: str, batch_size: int = FID_BATCH
         imgs = np.stack([
             np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
             for f in files[start:start + batch_size]])
-        acts = get_activations(imgs, batch_size=batch_size).astype(np.float64)
+        k = imgs.shape[0]
+        if k < batch_size:
+            # pad the TAIL chunk up to the fixed batch shape: a smaller
+            # final array would shrink get_activations' static jit shape
+            # and trigger a second multi-minute compile over the tunnel
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch_size - k,) + imgs.shape[1:],
+                                imgs.dtype)])
+        acts = get_activations(imgs, batch_size=batch_size)[:k].astype(
+            np.float64)
         s += acts.sum(axis=0)
         ss += acts.T @ acts
     mu = s / n

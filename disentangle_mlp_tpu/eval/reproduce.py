@@ -60,7 +60,10 @@ def _curve_shape(cfg: Config) -> Dict:
     ratio; ``curve_ok`` requires final < 0.7 × initial."""
     import pathlib
 
-    logs = sorted(pathlib.Path(cfg.log_path).glob("log_*.json"))
+    # newest by mtime — the filename stamp is month-first
+    # (%m_%d_%Y_...), so a lexical sort is NOT chronological across years
+    logs = sorted(pathlib.Path(cfg.log_path).glob("log_*.json"),
+                  key=lambda p: p.stat().st_mtime)
     if not logs:
         return {}
     records = json.loads(logs[-1].read_text()).get("output", [])

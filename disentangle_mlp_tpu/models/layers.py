@@ -242,7 +242,7 @@ class _ManualBN(nn.Module):
         b = x.shape[0]
         if b % self.groups:
             raise ValueError(
-                f"batch {b} must divide bn_groups={self.groups}")
+                f"bn_groups={self.groups} must divide the batch ({b})")
         per = b // self.groups
         xg = x.reshape((self.groups, per) + x.shape[1:]).astype(jnp.float32)
         axes = tuple(range(1, xg.ndim - 1))

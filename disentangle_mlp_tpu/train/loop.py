@@ -74,9 +74,12 @@ def _ckpt_due(cfg: Config, epoch: int) -> bool:
     """Per-epoch checkpointing is the reference cadence
     (new_betavaegan.py:222-228); --checkpoint_every N thins it (0 = never)
     for sweeps that don't need resume — the full-size ~1.3 GB save can
-    dominate wall time over a slow host link."""
+    dominate wall time over a slow host link. The FINAL epoch always saves
+    (when saving is enabled at all): the fully-trained weights of a long
+    run must never exist only in process memory."""
     every = getattr(cfg, "checkpoint_every", 1)
-    return bool(every) and (epoch + 1) % every == 0
+    return bool(every) and ((epoch + 1) % every == 0
+                            or epoch + 1 == cfg.epochs)
 
 
 class Throughput:

@@ -174,3 +174,10 @@ def test_checkpoint_every_zero_disables_saves(tmp_path):
     run_vae(cfg2)
     names = sorted(p.name for p in Path(cfg2.model_path).glob("model_*"))
     assert names == ["model_2", "model_4"]
+
+    # the FINAL epoch always saves even off-cadence (a long run's fully
+    # trained weights must not exist only in memory)
+    cfg3 = tiny_run_cfg(tmp_path, "ck3", epochs=3, checkpoint_every=2)
+    run_vae(cfg3)
+    names = sorted(p.name for p in Path(cfg3.model_path).glob("model_*"))
+    assert names == ["model_2", "model_3"]
