@@ -1,7 +1,7 @@
-"""Round-2 stability matrix: 50 full-size steps (batch 256 bf16) of every
+"""Stability matrix: 50 full-size steps (batch 256 bf16) of every
 experiment family — VAE, DCGAN, β-VAE-GAN observed AND intent — on the
 real chip; all tracked metrics must stay finite. Writes
-STABILITY_MATRIX_r2.json. Run: python -m benchmarks.stability_matrix"""
+STABILITY_MATRIX.json (or argv[1]). Run: python -m benchmarks.stability_matrix"""
 
 from __future__ import annotations
 
@@ -25,11 +25,11 @@ def main():
                             jnp.float32, -1.0, 1.0)
     results = {}
 
-    def run(name, make, step_of, states_of, set_states):
+    def run(name, make, step_of, states_of, set_states, **cfg_kw):
         cfg = Config(name=f"stab_{name}", beta=25.0, batch_size_train=B,
                      dtype="bfloat16", lr=3e-4,
                      freeze_mode="intent" if name.endswith("intent")
-                     else "observed")
+                     else "observed", **cfg_kw)
         exp = make(cfg, jax.random.key(1))
         states = states_of(exp)
         t0 = time.perf_counter()
@@ -55,10 +55,17 @@ def main():
         lambda e: e.train_step, lambda e: [e.eg_state, e.d_state], None)
     run("betavaegan_intent", create_vaegan_experiment,
         lambda e: e.train_step, lambda e: [e.eg_state, e.d_state], None)
+    # round 3: the grouped-BN (torch-DataParallel emulation) step at full
+    # size — a distinct XLA program (per-group reductions)
+    run("betavaegan_bn_groups2", create_vaegan_experiment,
+        lambda e: e.train_step, lambda e: [e.eg_state, e.d_state], None,
+        bn_groups=2)
 
-    with open("STABILITY_MATRIX_r2.json", "w") as f:
+    import sys
+    out = sys.argv[1] if len(sys.argv) > 1 else "STABILITY_MATRIX.json"
+    with open(out, "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote STABILITY_MATRIX_r2.json")
+    print("wrote", out)
 
 
 if __name__ == "__main__":

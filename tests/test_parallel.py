@@ -115,3 +115,28 @@ def test_vaegan_intent_step_sharded_matches_unsharded(batch):
             float(m_ref[k]), float(m_sh[k]), rtol=2e-3, err_msg=k)
     leaf = jax.tree_util.tree_leaves(eg2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_vaegan_bn_groups_step_sharded_matches_unsharded(batch):
+    """--bn_groups 2 reshapes the batch to (g, B/g, ...) for per-group
+    statistics; under a batch-sharded mesh that split must still compile,
+    execute, and agree with the unsharded step (XLA inserts whatever
+    resharding the (2, B/2) view needs)."""
+    cfg = tiny_cfg(beta=25.0, bn_groups=2)
+
+    exp1 = create_vaegan_experiment(cfg, jax.random.key(1))
+    _, _, m_ref = exp1.train_step(exp1.eg_state, exp1.d_state, batch,
+                                  jax.random.key(2))
+
+    mesh = make_mesh()
+    exp2 = create_vaegan_experiment(cfg, jax.random.key(1))
+    eg = replicate(exp2.eg_state, mesh)
+    d = replicate(exp2.d_state, mesh)
+    xb = shard_batch(batch, mesh)
+    eg2, _, m_sh = exp2.train_step(eg, d, xb, jax.random.key(2))
+
+    for k in ["recon_enc", "kld", "dis"]:
+        np.testing.assert_allclose(
+            float(m_ref[k]), float(m_sh[k]), rtol=2e-3, err_msg=k)
+    leaf = jax.tree_util.tree_leaves(eg2.params)[0]
+    assert len(leaf.sharding.device_set) == 8
