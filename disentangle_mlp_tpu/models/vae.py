@@ -74,6 +74,28 @@ class CelebaEncoder(nn.Module):
         # μ/logσ² feed the loss math; keep them float32.
         return mu.astype(jnp.float32), logvar.astype(jnp.float32)
 
+    def forward_ref(self, x: jax.Array, train: bool = True,
+                    eps: jax.Array | None = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """The standalone ``Encoder_celeba.forward`` contract (reference:
+        models/model.py:316-328): returns (z, kld) where
+        z = μ + ε·exp(0.5·logσ²) with ε~N(0,1) and kld is the PER-SAMPLE
+        vector −½ Σ_d (1 + logσ² − μ² − e^{logσ²}).
+
+        ``__call__`` keeps the (μ, logσ²) contract the composed ``VAE``
+        needs (model.py:532-535 draws ε in VAE.reparameterize); this
+        method exposes the reference's standalone-encoder surface for
+        users of that class. ``eps`` overrides the 'reparam' rng draw so
+        golden tests can feed bit-identical noise to both frameworks."""
+        mu, logvar = self(x, train=train)
+        if eps is None:
+            eps = jax.random.normal(self.make_rng("reparam"), mu.shape,
+                                    jnp.float32)
+        z = mu + eps * jnp.exp(0.5 * logvar)
+        kld = -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar),
+                             axis=1)
+        return z, kld
+
 
 class CelebaDecoder(nn.Module):
     """Linear preprocess + 4-stage ConvT ladder to 64×64×3 Tanh output

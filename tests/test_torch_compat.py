@@ -158,6 +158,58 @@ def test_vae_conversion_forward_parity(x_np):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_encoder_forward_ref_z_kld_parity(x_np):
+    """The standalone Encoder_celeba.forward contract (model.py:316-328):
+    (z, kld) with z = μ + ε·exp(0.5·logσ²) and per-sample
+    kld = −½Σ(1+logσ²−μ²−e^logσ²), identical ε fed to both sides."""
+    ref = RefVAE()
+    _randomize(ref, 11)
+    from disentangle_mlp_tpu.models.vae import CelebaEncoder
+    from disentangle_mlp_tpu.utils.torch_compat import (
+        convert_encoder_state_dict)
+    params, stats = convert_encoder_state_dict(
+        ref.state_dict(), RS, feature_hw=IMG // 8)
+
+    eps_np = np.random.default_rng(12).normal(
+        size=(2, N_HIDDEN)).astype(np.float32)
+    xt = torch.from_numpy(x_np).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        mu_t, lv_t = ref.encode(xt)
+        z_t = mu_t + torch.from_numpy(eps_np) * torch.exp(0.5 * lv_t)
+        kld_t = -0.5 * torch.sum(1 + lv_t - mu_t.pow(2) - lv_t.exp(), 1)
+
+    enc = CelebaEncoder(n_hidden=N_HIDDEN, representation_size=RS,
+                        head_width=HEAD)
+    z, kld = enc.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(x_np), train=False,
+                       eps=jnp.asarray(eps_np),
+                       method=CelebaEncoder.forward_ref)
+    assert kld.shape == (2,)  # per-sample vector, not a scalar
+    np.testing.assert_allclose(np.asarray(z), z_t.numpy(),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kld), kld_t.numpy(),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_encoder_forward_ref_draws_from_reparam_rng(x_np):
+    """Without an explicit ε the draw comes from the 'reparam' rng
+    collection and is reproducible."""
+    from disentangle_mlp_tpu.models.vae import CelebaEncoder
+    enc = CelebaEncoder(n_hidden=N_HIDDEN, representation_size=RS,
+                        head_width=HEAD)
+    x = jnp.asarray(x_np)
+    variables = enc.init(jax.random.key(0), x)
+    out = []
+    for _ in range(2):
+        (z, kld), _ = enc.apply(variables, x, train=True,
+                                method=CelebaEncoder.forward_ref,
+                                rngs={"reparam": jax.random.key(1)},
+                                mutable=["batch_stats"])
+        out.append(np.asarray(z))
+    np.testing.assert_array_equal(out[0], out[1])
+    assert kld.shape == (2,)
+
+
 def test_discriminator_conversion_forward_parity(x_np):
     ref = RefDisc()
     _randomize(ref, 3)
