@@ -19,6 +19,9 @@ Prints ONE JSON line:
 - vs_baseline: speedup over a PyTorch-CPU implementation of the identical
   per-batch work (BENCH_BASELINE.json, produced once by
   benchmarks/torch_baseline.py; re-measured here if the cache is missing).
+- opt_bf16_* / intent_opt_bf16_*: the same two modes with
+  --optimizer_dtype bfloat16 (Adam moments stored bf16, update math f32 —
+  the opt-in perf mode; train/common.py _scale_by_adam_compact).
 
 Warmup steps are excluded (compilation over the tunneled TPU costs
 minutes; the persistent compilation cache makes reruns fast).
@@ -75,10 +78,17 @@ def tpu_images_per_sec() -> dict:
         jnp.float32, -1.0, 1.0)
 
     runs = {}
-    for mode in ("observed", "intent"):
-        cfg = Config(name=f"bench_{mode}", beta=25.0,
+    # (freeze_mode, optimizer_dtype): the f32 pair are the semantics-exact
+    # configurations; the opt_bf16 pair carry Adam moments in bf16 (opt-in
+    # --optimizer_dtype mode, +4-5% measured — benchmarks/opt_dtype_ab.py)
+    variants = {"observed": ("observed", "float32"),
+                "intent": ("intent", "float32"),
+                "observed_opt_bf16": ("observed", "bfloat16"),
+                "intent_opt_bf16": ("intent", "bfloat16")}
+    for key, (mode, opt_dtype) in variants.items():
+        cfg = Config(name=f"bench_{key}", beta=25.0,
                      batch_size_train=BATCH, dtype="bfloat16", lr=3e-4,
-                     freeze_mode=mode)
+                     freeze_mode=mode, optimizer_dtype=opt_dtype)
         exp = create_vaegan_experiment(cfg, jax.random.key(0))
         multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
         # warmup / compile. NOTE: on the axon platform block_until_ready()
@@ -87,7 +97,7 @@ def tpu_images_per_sec() -> dict:
         eg, d, m = multi(exp.eg_state, exp.d_state, batches,
                          jax.random.key(0))
         float(m["recon_enc"][-1])
-        runs[mode] = {"multi": multi, "eg": eg, "d": d, "rates": []}
+        runs[key] = {"multi": multi, "eg": eg, "d": d, "rates": []}
 
     for w in range(WINDOWS):
         for mode, r in runs.items():  # interleave modes within each window
@@ -137,6 +147,14 @@ def main() -> None:
         # in the same process, windows interleaved with the headline mode
         "intent_mode_value": round(rates["intent"]["best"], 2),
         "intent_mode_median": round(rates["intent"]["median"], 2),
+        # --optimizer_dtype bfloat16 (opt-in: Adam moments in bf16, math
+        # still f32): halves the ~16 ms of Adam-state HBM streaming; +4-5%
+        # measured (benchmarks/opt_dtype_ab.py). Same-process interleaved.
+        "opt_bf16_value": round(rates["observed_opt_bf16"]["best"], 2),
+        "opt_bf16_median": round(rates["observed_opt_bf16"]["median"], 2),
+        "intent_opt_bf16_value": round(rates["intent_opt_bf16"]["best"], 2),
+        "intent_opt_bf16_median": round(
+            rates["intent_opt_bf16"]["median"], 2),
     }))
 
 

@@ -13,8 +13,8 @@ Differences from the reference (deliberate):
 - ``lr`` defaults to 3e-4, the value used by every published run
   (reference report Table 3; results/logs/*.json ``args``) rather than the
   stale 3e-3 argparse default (envsetter.py:43).
-- TPU flags: ``--mesh_shape``, ``--dtype``, ``--freeze_mode``,
-  ``--synthetic_data``, ``--profile_dir``.
+- TPU flags: ``--mesh_shape``, ``--dtype``, ``--optimizer_dtype``,
+  ``--freeze_mode``, ``--synthetic_data``, ``--profile_dir``.
 """
 
 from __future__ import annotations
@@ -103,6 +103,12 @@ class Config:
     # Compute dtype for model forward/backward ('bfloat16' or 'float32').
     # Params and optimizer state are always float32.
     dtype: str = "bfloat16"
+    # Storage dtype for the Adam moments ('float32' = torch-exact default;
+    # 'bfloat16' halves optimizer-state HBM traffic — the flagship step
+    # spends ~16 of its 50 ms streaming Adam state. Update math stays
+    # float32 either way (train/common.py _scale_by_adam_compact).
+    # Opt-in perf mode; a documented semantic deviation when enabled.
+    optimizer_dtype: str = "float32"
     # Data-parallel mesh size; 0 = all visible devices.
     mesh_shape: int = 0
     # Replace the image-folder dataset with an on-device synthetic stream
@@ -246,6 +252,10 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
                         "(TPU-native), 2 = per-GPU DataParallel emulation")
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--optimizer_dtype", type=str, default=d.optimizer_dtype,
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage dtype (bfloat16 = opt-in perf "
+                        "mode; update math is float32 either way)")
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
     p.add_argument("--synthetic_data", type=str2bool, default=d.synthetic_data)
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)

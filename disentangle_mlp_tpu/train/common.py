@@ -30,8 +30,60 @@ class ModelState:
     opt_state: Any
 
 
-def make_adam(lr: float) -> optax.GradientTransformation:
-    return optax.adam(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+def _scale_by_adam_compact(b1: float, b2: float, eps: float,
+                           moment_dtype) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with BOTH moments stored in ``moment_dtype``
+    (bf16 halves the optimizer state's HBM traffic — ~16 ms of the 50 ms
+    flagship step is pure Adam state streaming, benchmarks/README_PERF.md).
+    All arithmetic runs in float32; only the carried mu/nu round to
+    ``moment_dtype`` at store. The update math is otherwise identical to
+    optax.adam: m̂/(√v̂ + eps) with 1−βᵗ bias correction."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), moment_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree.map(
+            lambda m, g: b1 * m.astype(f32) + (1.0 - b1) * g.astype(f32),
+            state.mu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v.astype(f32)
+            + (1.0 - b2) * jnp.square(g.astype(f32)),
+            state.nu, updates)
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - jnp.power(b1, count.astype(f32))
+        bc2 = 1.0 - jnp.power(b2, count.astype(f32))
+        out = jax.tree.map(
+            lambda m, v, g: ((m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                             ).astype(g.dtype),
+            mu, nu, updates)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m: m.astype(moment_dtype), mu),
+            nu=jax.tree.map(lambda v: v.astype(moment_dtype), nu))
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_adam(lr: float,
+              moment_dtype: str = "float32") -> optax.GradientTransformation:
+    """torch.optim.Adam-default Adam. ``moment_dtype='bfloat16'`` is the
+    opt-in perf mode (``--optimizer_dtype``): moments carried in bf16,
+    update math still float32 — a documented semantic deviation from the
+    reference's all-f32 torch.optim.Adam, OFF by default."""
+    if moment_dtype in ("float32", jnp.float32, None):
+        return optax.adam(learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.chain(
+        _scale_by_adam_compact(0.9, 0.999, 1e-8, jnp.dtype(moment_dtype)),
+        optax.scale(-lr),
+    )
 
 
 def init_model_state(model, rng: jax.Array, sample_input,

@@ -100,7 +100,8 @@ def _build_models(cfg: Config) -> Tuple[FamilyVAE, nn.Module, int]:
 
 def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
     vae, disc, z_dim = _build_models(cfg)
-    tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+    tx_eg, tx_d = (make_adam(cfg.lr, cfg.optimizer_dtype),
+                   make_adam(cfg.lr, cfg.optimizer_dtype))
 
     rng_eg, rng_d = jax.random.split(rng)
     x_sample = jnp.zeros(

@@ -52,7 +52,8 @@ def create_gan_experiment(cfg: Config, rng: jax.Array) -> GANExperiment:
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
         bn_groups=bn_groups,
     )
-    tx_g, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+    tx_g, tx_d = (make_adam(cfg.lr, cfg.optimizer_dtype),
+                  make_adam(cfg.lr, cfg.optimizer_dtype))
 
     rng_g, rng_d = jax.random.split(rng)
     z_sample = jnp.zeros((2, cfg.n_hidden), jnp.float32)

@@ -45,7 +45,7 @@ def _model_from_config(cfg: Config) -> VAE:
 
 def create_vae_experiment(cfg: Config, rng: jax.Array) -> VAEExperiment:
     model = _model_from_config(cfg)
-    tx = make_adam(cfg.lr)
+    tx = make_adam(cfg.lr, cfg.optimizer_dtype)
     sample = jnp.zeros(
         (2, cfg.img_size, cfg.img_size, cfg.input_channels), jnp.float32
     )

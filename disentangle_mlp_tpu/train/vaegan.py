@@ -97,7 +97,8 @@ def create_vaegan_experiment(cfg: Config, rng: jax.Array) -> VAEGANExperiment:
         feature_dim=cfg.disc_feature_dim, dtype=dtype,
         bn_groups=bn_groups,
     )
-    tx_eg, tx_d = make_adam(cfg.lr), make_adam(cfg.lr)
+    tx_eg, tx_d = (make_adam(cfg.lr, cfg.optimizer_dtype),
+                   make_adam(cfg.lr, cfg.optimizer_dtype))
     beta_value = jnp.float32(cfg.beta)
     intent = cfg.freeze_mode == "intent"
 

@@ -97,6 +97,14 @@ def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:
             f"different --freeze_mode ('intent' keeps split {{dec, enc}} "
             f"Adam states, 'observed' one shared state) — pass the flag the "
             f"run was trained with.") from e
+    # Restored leaves keep their SAVED dtypes; normalize to the experiment
+    # template's dtypes so a run can resume across --optimizer_dtype modes
+    # (f32 ↔ bf16 Adam moments) without a signature-mismatch recompile.
+    states = jax.tree.map(
+        lambda t, s: s.astype(t.dtype)
+        if hasattr(t, "dtype") and hasattr(s, "astype") and s.dtype != t.dtype
+        else s,
+        template_states, states)
     return epoch, states
 
 
