@@ -60,6 +60,11 @@ def main():
     run("betavaegan_bn_groups2", create_vaegan_experiment,
         lambda e: e.train_step, lambda e: [e.eg_state, e.d_state], None,
         bn_groups=2)
+    # round 3: bf16 Adam moments (--optimizer_dtype bfloat16, the opt-in
+    # perf mode) — 50 full-size steps must stay finite too
+    run("betavaegan_opt_bf16", create_vaegan_experiment,
+        lambda e: e.train_step, lambda e: [e.eg_state, e.d_state], None,
+        optimizer_dtype="bfloat16")
 
     import sys
     out = sys.argv[1] if len(sys.argv) > 1 else "STABILITY_MATRIX.json"
