@@ -97,14 +97,23 @@ def load_checkpoint(path: str, template_states: Dict[str, Any]) -> tuple:
             f"different --freeze_mode ('intent' keeps split {{dec, enc}} "
             f"Adam states, 'observed' one shared state) — pass the flag the "
             f"run was trained with.") from e
-    # Restored leaves keep their SAVED dtypes; normalize to the experiment
-    # template's dtypes so a run can resume across --optimizer_dtype modes
-    # (f32 ↔ bf16 Adam moments) without a signature-mismatch recompile.
-    states = jax.tree.map(
-        lambda t, s: s.astype(t.dtype)
-        if hasattr(t, "dtype") and hasattr(s, "astype") and s.dtype != t.dtype
-        else s,
-        template_states, states)
+    # Restored leaves keep their SAVED dtypes; normalize ONLY the optimizer
+    # state to the experiment template's dtypes so a run can resume across
+    # --optimizer_dtype modes (f32 ↔ bf16 Adam moments) without a
+    # signature-mismatch recompile. Params/batch_stats are deliberately NOT
+    # coerced — a dtype mismatch there signals a corrupted/foreign
+    # checkpoint and should surface, not be silently cast.
+    def _norm_opt(template_state, state):
+        if not hasattr(template_state, "opt_state"):
+            return state
+        opt = jax.tree.map(
+            lambda t, s: s.astype(t.dtype)
+            if hasattr(t, "dtype") and hasattr(s, "astype")
+            and s.dtype != t.dtype else s,
+            template_state.opt_state, state.opt_state)
+        return state.replace(opt_state=opt)
+
+    states = {k: _norm_opt(template_states[k], v) for k, v in states.items()}
     return epoch, states
 
 

@@ -58,7 +58,7 @@ def test_make_adam_f32_is_plain_optax_adam():
     assert _moment_dtypes(st) == {jnp.dtype(jnp.float32)}
 
 
-def test_bf16_moments_train_close_to_f32(batch=None):
+def test_bf16_moments_train_close_to_f32():
     """Tiny VAE, 5 repeated-batch steps per mode: bf16-moment leaves are
     bfloat16, the loss decreases, and the trajectory tracks f32 within a
     few percent (moments round at store; math is f32)."""

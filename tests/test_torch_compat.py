@@ -176,7 +176,13 @@ def test_encoder_forward_ref_z_kld_parity(x_np):
     with torch.no_grad():
         mu_t, lv_t = ref.encode(xt)
         z_t = mu_t + torch.from_numpy(eps_np) * torch.exp(0.5 * lv_t)
-        kld_t = -0.5 * torch.sum(1 + lv_t - mu_t.pow(2) - lv_t.exp(), 1)
+        # independent derivation (NOT the reference's closed form — that
+        # transcription lives only on the JAX side): the per-sample KLD is
+        # KL(N(μ, σ) ‖ N(0, 1)) summed over latent dims
+        from torch.distributions import Normal, kl_divergence
+        kld_t = kl_divergence(
+            Normal(mu_t, torch.exp(0.5 * lv_t)),
+            Normal(torch.zeros_like(mu_t), torch.ones_like(lv_t))).sum(1)
 
     enc = CelebaEncoder(n_hidden=N_HIDDEN, representation_size=RS,
                         head_width=HEAD)
