@@ -83,6 +83,52 @@ def test_bf16_moments_train_close_to_f32():
                                rtol=0.05)
 
 
+def test_bf16_moments_gan_step():
+    """The DCGAN loop shares make_adam; one bf16-moments step runs with
+    finite metrics and bf16 moment leaves on both G and D states."""
+    from disentangle_mlp_tpu.train.gan import create_gan_experiment
+    x = jax.random.uniform(jax.random.key(0), (4, 32, 32, 3),
+                           jnp.float32, -1.0, 1.0)
+    exp = create_gan_experiment(tiny_cfg(optimizer_dtype="bfloat16"),
+                                jax.random.key(2))
+    g, d, m = exp.train_step(exp.g_state, exp.d_state, x, jax.random.key(3))
+    assert np.isfinite(float(m["errD"])) and np.isfinite(float(m["errG"]))
+    assert _moment_dtypes(g.opt_state) == {jnp.dtype(jnp.bfloat16)}
+    assert _moment_dtypes(d.opt_state) == {jnp.dtype(jnp.bfloat16)}
+
+
+def test_bf16_moments_vaegan_intent_split_states(tmp_path):
+    """freeze_mode=intent keeps the split {dec, enc} Adam states
+    (train/vaegan.py:111-117); bf16 moments must thread through that
+    structurally different opt-state tree, one 3-phase step must run
+    finite, and the cross-mode checkpoint normalization must handle the
+    split tree too."""
+    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
+    x = jax.random.uniform(jax.random.key(0), (4, 32, 32, 3),
+                           jnp.float32, -1.0, 1.0)
+    exp = create_vaegan_experiment(
+        tiny_cfg(beta=25.0, freeze_mode="intent",
+                 optimizer_dtype="bfloat16"),
+        jax.random.key(4))
+    assert set(exp.eg_state.opt_state) == {"dec", "enc"}
+    assert _moment_dtypes(exp.eg_state.opt_state) == \
+        {jnp.dtype(jnp.bfloat16)}
+    eg, d, m = exp.train_step(exp.eg_state, exp.d_state, x,
+                              jax.random.key(5))
+    assert all(np.isfinite(float(v)) for v in m.values())
+    assert _moment_dtypes(eg.opt_state) == {jnp.dtype(jnp.bfloat16)}
+
+    # f32-intent checkpoint → bf16-intent template: split tree normalizes
+    exp32 = create_vaegan_experiment(tiny_cfg(freeze_mode="intent"),
+                                     jax.random.key(4))
+    path = str(tmp_path / "model_1")
+    save_checkpoint(path, 0, {"eg": exp32.eg_state, "d": exp32.d_state})
+    _, restored = load_checkpoint(path, {"eg": exp.eg_state,
+                                         "d": exp.d_state})
+    assert _moment_dtypes(restored["eg"].opt_state) == \
+        {jnp.dtype(jnp.bfloat16)}
+
+
 def test_checkpoint_resumes_across_optimizer_dtype(tmp_path):
     """An f32-moments checkpoint loads into a bf16-mode experiment (and
     back): load_checkpoint normalizes restored leaves to the template's
