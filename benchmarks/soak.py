@@ -1,7 +1,7 @@
 """Full-size β-VAE-GAN soak on the TPU: N steps through the production
 scan driver, metrics sampled every 100 steps, finiteness asserted.
 
-Usage:  python benchmarks/soak.py [freeze_mode] [steps] [out.json]
+Usage:  python benchmarks/soak.py [freeze_mode] [steps] [out.json] [opt_dtype]
 
 Round 1 soaked freeze_mode='observed' for 2000 steps (SOAK_r1.json);
 round 2 adds the 'intent' (true torch-freeze) production mode, which
@@ -18,6 +18,7 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "intent"
     total_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     out_path = sys.argv[3] if len(sys.argv) > 3 else f"SOAK_{mode.upper()}.json"
+    opt_dtype = sys.argv[4] if len(sys.argv) > 4 else "float32"
 
     from disentangle_mlp_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -31,7 +32,8 @@ def main() -> None:
 
     batch, k = 256, 20
     cfg = Config(name=f"soak_{mode}", beta=25.0, batch_size_train=batch,
-                 dtype="bfloat16", lr=3e-4, freeze_mode=mode)
+                 dtype="bfloat16", lr=3e-4, freeze_mode=mode,
+                 optimizer_dtype=opt_dtype)
     exp = create_vaegan_experiment(cfg, jax.random.key(0))
     multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
     batches = jax.random.uniform(
