@@ -22,6 +22,10 @@ Prints ONE JSON line:
 - opt_bf16_* / intent_opt_bf16_*: the same two modes with
   --optimizer_dtype bfloat16 (Adam moments stored bf16, update math f32 —
   the opt-in perf mode; train/common.py _scale_by_adam_compact).
+- vae_value / gan_value (+ _median): steady-state throughput of the plain
+  VAE and DCGAN experiments (reference new_vae.py / new_gan.py), same
+  full-size models, batch 256, bf16 — measured in this same process with
+  windows interleaved against the flagship's.
 
 Warmup steps are excluded (compilation over the tunneled TPU costs
 minutes; the persistent compilation cache makes reruns fast).
@@ -67,7 +71,9 @@ def tpu_images_per_sec() -> dict:
     import jax.numpy as jnp
 
     from disentangle_mlp_tpu.config import Config
+    from disentangle_mlp_tpu.train.gan import create_gan_experiment
     from disentangle_mlp_tpu.train.scan import make_multi_step
+    from disentangle_mlp_tpu.train.vae import create_vae_experiment
     from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 
     # distinct device-resident batches; the scan driver runs TIMED_STEPS
@@ -90,21 +96,44 @@ def tpu_images_per_sec() -> dict:
                      batch_size_train=BATCH, dtype="bfloat16", lr=3e-4,
                      freeze_mode=mode, optimizer_dtype=opt_dtype)
         exp = create_vaegan_experiment(cfg, jax.random.key(0))
-        multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
+        runs[key] = {
+            "multi": make_multi_step(exp.step_fn, n_states=2, donate=True),
+            "states": [exp.eg_state, exp.d_state],
+            "sync": "recon_enc", "rates": []}
+
+    # The two other first-class experiments (reference new_vae.py /
+    # new_gan.py — SURVEY C10/C11), same full-size models, batch and
+    # compute dtype, measured in the SAME process with their windows
+    # interleaved against the flagship's (VERDICT r3 #3: steady-state
+    # throughput for every trainable experiment, not just the headline).
+    cfg_v = Config(name="bench_vae", batch_size_train=BATCH,
+                   dtype="bfloat16", lr=3e-4)
+    exp_v = create_vae_experiment(cfg_v, jax.random.key(0))
+    runs["vae"] = {
+        "multi": make_multi_step(exp_v.step_fn, n_states=1, donate=True),
+        "states": [exp_v.state], "sync": "loss", "rates": []}
+    cfg_g = Config(name="bench_gan", batch_size_train=BATCH,
+                   dtype="bfloat16", lr=3e-4)
+    exp_g = create_gan_experiment(cfg_g, jax.random.key(0))
+    runs["gan"] = {
+        "multi": make_multi_step(exp_g.step_fn, n_states=2, donate=True),
+        "states": [exp_g.g_state, exp_g.d_state], "sync": "errG",
+        "rates": []}
+
+    for r in runs.values():
         # warmup / compile. NOTE: on the axon platform block_until_ready()
         # can return before execution finishes — a scalar value fetch is
         # the only reliable barrier, so we sync by reading a metric.
-        eg, d, m = multi(exp.eg_state, exp.d_state, batches,
-                         jax.random.key(0))
-        float(m["recon_enc"][-1])
-        runs[key] = {"multi": multi, "eg": eg, "d": d, "rates": []}
+        *r["states"], m = r["multi"](*r["states"], batches,
+                                     jax.random.key(0))
+        float(m[r["sync"]][-1])
 
     for w in range(WINDOWS):
         for mode, r in runs.items():  # interleave modes within each window
             t0 = time.perf_counter()
-            r["eg"], r["d"], m = r["multi"](
-                r["eg"], r["d"], batches, jax.random.key(w + 1))
-            value = float(m["recon_enc"][-1])
+            *r["states"], m = r["multi"](
+                *r["states"], batches, jax.random.key(w + 1))
+            value = float(m[r["sync"]][-1])
             dt = time.perf_counter() - t0
             assert value == value, "training metric went NaN during bench"
             r["rates"].append(BATCH * TIMED_STEPS / dt)
@@ -155,6 +184,13 @@ def main() -> None:
         "intent_opt_bf16_value": round(rates["intent_opt_bf16"]["best"], 2),
         "intent_opt_bf16_median": round(
             rates["intent_opt_bf16"]["median"], 2),
+        # the other two first-class experiments (reference new_vae.py /
+        # new_gan.py), same batch/dtype, windows interleaved with the
+        # flagship's in this same process (VERDICT r3 #3)
+        "vae_value": round(rates["vae"]["best"], 2),
+        "vae_median": round(rates["vae"]["median"], 2),
+        "gan_value": round(rates["gan"]["best"], 2),
+        "gan_median": round(rates["gan"]["median"], 2),
     }))
 
 

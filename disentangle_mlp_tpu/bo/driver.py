@@ -129,10 +129,18 @@ class BetaSearch:
             ei = expected_improvement(gp, self.grid, xi=self.xi)
             claimed = np.isin(self.grid, np.asarray(betas))
             if claimed.all():
+                # Fewer untried points than groups: hand back the partial
+                # batch so run_parallel still evaluates the last valid
+                # candidates instead of ending the search with budgeted
+                # grid points unobserved. Raise only when NO proposal at
+                # all is possible (the genuinely-finished case).
+                if out:
+                    print(f"[bo] grid nearly exhausted: proposing "
+                          f"{len(out)} of the requested {k} βs")
+                    return out
                 raise GridExhausted(
-                    f"grid fully observed/claimed after {len(out)} of the "
-                    f"requested {k} proposals — shrink the group count or "
-                    f"widen the grid")
+                    f"grid fully observed/claimed — no untried β left of "
+                    f"the requested {k}; the search is complete")
             ei = np.where(claimed, -np.inf, ei)
             beta = float(self.grid[int(np.argmax(ei))])
             lie = float(gp.predict(np.asarray([beta]))[0][0])

@@ -33,10 +33,15 @@ def main(argv=None) -> None:
                         help="chip groups training concurrently, one beta "
                              "each (devices are split evenly; 1 = "
                              "sequential search)")
+    parser.add_argument("--bo_report", type=str, default="",
+                        help="write a full search artifact here: every "
+                             "train→FID→propose cycle with per-evaluation "
+                             "wall time, the final best β, and total wall "
+                             "time")
     ns = parser.parse_args(argv)
     extra = {k: vars(ns).pop(k) for k in
              ["posterior_only", "bo_iterations", "bo_output", "bo_epochs",
-              "bo_parallel"]}
+              "bo_parallel", "bo_report"]}
     cfg = Config(**{k: v for k, v in vars(ns).items()}).finalize()
 
     if extra["posterior_only"]:
@@ -63,17 +68,54 @@ def main(argv=None) -> None:
 
     from ..utils.runtime import setup
     setup()
-    objective = make_training_objective(cfg, epochs=extra["bo_epochs"])
+    import time
+
+    cycles = []
+
+    def _instrument(obj):
+        """Record every train→FID evaluation (β, FID, wall seconds) for
+        the --bo_report artifact; exceptions pass through untouched."""
+        def timed(beta: float) -> float:
+            t0 = time.time()
+            fid = obj(beta)
+            cycles.append({"beta": float(beta), "fid": float(fid),
+                           "train_fid_wall_s": round(time.time() - t0, 2)})
+            return fid
+        timed.devices = getattr(obj, "devices", None)
+        return timed
+
+    t_start = time.time()
+    objective = _instrument(
+        make_training_objective(cfg, epochs=extra["bo_epochs"]))
     search = BetaSearch(objective=objective,
                         log_path=f"{cfg.save_path}/bo_history.json").seed()
     if extra["bo_parallel"] > 1:
         from ..bo.driver import make_group_objectives
-        groups = make_group_objectives(cfg, extra["bo_parallel"],
-                                       epochs=extra["bo_epochs"])
+        groups = [_instrument(g) for g in make_group_objectives(
+            cfg, extra["bo_parallel"], epochs=extra["bo_epochs"])]
         result = search.run_parallel(extra["bo_iterations"], groups)
     else:
         result = search.run(extra["bo_iterations"])
     print(f"best: beta={result['best_beta']:.1f} FID={result['best_fid']:.2f}")
+    if extra["bo_report"]:
+        import jax
+        report = {
+            "mode": ("parallel" if extra["bo_parallel"] > 1 else
+                     "sequential"),
+            "groups": extra["bo_parallel"],
+            "epochs_per_eval": extra["bo_epochs"],
+            "rounds": extra["bo_iterations"],
+            "seed_observations": [list(o) for o in REFERENCE_OBSERVATIONS],
+            "cycles": cycles,
+            "best_beta": result["best_beta"],
+            "best_fid": result["best_fid"],
+            "total_wall_s": round(time.time() - t_start, 2),
+            "devices": [str(d) for d in jax.devices()],
+            "synthetic_data": bool(cfg.synthetic_data),
+        }
+        with open(extra["bo_report"], "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report → {extra['bo_report']}")
 
 
 def _maybe_plot(grid, mean, std, json_path: str) -> None:

@@ -127,6 +127,13 @@ class Config:
     # dominate wall time, so sweeps that don't need resume (e.g. the BO
     # search's inner runs, trajectory benchmarks) can turn them off.
     checkpoint_every: int = 1
+    # Checkpoint storage dtype for the Adam moments ('float32' = exact;
+    # 'bfloat16' casts the moments on device before the snapshot fetch —
+    # the full-size state is ~1.3 GB of which the moments are ~2/3, and
+    # that device→host transfer has been seen to wedge the tunnel for
+    # 30+ min (README_PERF). Params/batch_stats always stay float32;
+    # restore re-normalizes to the run's --optimizer_dtype either way.
+    checkpoint_save_dtype: str = "float32"
     # Decoded-image RAM cache for folder datasets ("auto"/"on"/"off"):
     # JPEG decode delivers ~1,300 img/s vs the ~5,200 img/s train step, so
     # epochs 2+ read resized uint8 images from host RAM instead
@@ -154,6 +161,13 @@ class Config:
         Mirrors envsetter.py:60-64 (templating) and :68-95 (dir tree),
         fixing the missing ``fid_results/recons`` entry.
         """
+        if self.checkpoint_every < 0:
+            # bool(-1) is truthy and negative-divisor modulo never hits 0,
+            # so a negative value would silently degrade to final-epoch-only
+            # saves instead of honouring the 0=never / N=every-N contract.
+            raise ValueError(
+                f"checkpoint_every must be >= 0 (0 = never, N = every N "
+                f"epochs); got {self.checkpoint_every}")
         self.save_path = self.save_path.replace("%", self.name)
         self.log_path = self.log_path.replace("%", self.name)
         self.image_root_train = self.image_root_train.replace("%", self.dataset)
@@ -264,6 +278,12 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every,
                    help="save a checkpoint every N epochs (0 = never)")
+    p.add_argument("--checkpoint_save_dtype", type=str,
+                   default=d.checkpoint_save_dtype,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for Adam moments in checkpoints "
+                        "(bfloat16 shrinks the per-epoch device→host "
+                        "fetch ~1/3; params always stay float32)")
     p.add_argument("--cache_decoded", type=str,
                    default=d.cache_decoded,
                    choices=["auto", "on", "off"])

@@ -156,6 +156,11 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     if mesh is not None:
         exp.state = replicate(exp.state, mesh)
     train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+    if cfg.to_train:
+        # decode the epoch-1 order into the RAM cache while the first
+        # step's 4-7 min XLA compile blocks (VERDICT r3 #5); no-op for
+        # cacheless sources. DMT_DECODE_WARMUP=0 disables for A/B.
+        train_loader.start_cache_warmup()
 
     def decode_fn(z):
         return exp.decode(exp.state, z)
@@ -174,7 +179,8 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
-    ckpt = AsyncCheckpointer()
+    ckpt = AsyncCheckpointer(
+        opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -226,6 +232,11 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         exp.g_state = replicate(exp.g_state, mesh)
         exp.d_state = replicate(exp.d_state, mesh)
     train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+    if cfg.to_train:
+        # decode the epoch-1 order into the RAM cache while the first
+        # step's 4-7 min XLA compile blocks (VERDICT r3 #5); no-op for
+        # cacheless sources. DMT_DECODE_WARMUP=0 disables for A/B.
+        train_loader.start_cache_warmup()
 
     def generate_fn(z):
         return exp.generate(exp.g_state, z)
@@ -242,7 +253,8 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
-    ckpt = AsyncCheckpointer()
+    ckpt = AsyncCheckpointer(
+        opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -303,6 +315,11 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
         exp.eg_state = replicate(exp.eg_state, mesh)
         exp.d_state = replicate(exp.d_state, mesh)
     train_loader, _, test_loader = get_data_loader(cfg, sharding=train_sharding)
+    if cfg.to_train:
+        # decode the epoch-1 order into the RAM cache while the first
+        # step's 4-7 min XLA compile blocks (VERDICT r3 #5); no-op for
+        # cacheless sources. DMT_DECODE_WARMUP=0 disables for A/B.
+        train_loader.start_cache_warmup()
 
     def decode_fn(z):
         return exp.decode(exp.eg_state, z)
@@ -325,7 +342,8 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
         raise ValueError("Cannot load more than one model for training")
 
     meter = Throughput()
-    ckpt = AsyncCheckpointer()
+    ckpt = AsyncCheckpointer(
+        opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
@@ -416,6 +434,8 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         exp.eg_state = replicate(exp.eg_state, mesh)
         exp.d_state = replicate(exp.d_state, mesh)
     train_loader, _, _ = get_data_loader(cfg, sharding=train_sharding)
+    if cfg.to_train:
+        train_loader.start_cache_warmup()  # overlap first compile (r3 #5)
 
     def decode_fn(z):
         return exp.decode(exp.eg_state, z)
@@ -437,7 +457,8 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             exp.d_state = replicate(exp.d_state, mesh)
 
     meter = Throughput()
-    ckpt = AsyncCheckpointer()
+    ckpt = AsyncCheckpointer(
+        opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
     last = {}
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):

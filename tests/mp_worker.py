@@ -63,9 +63,32 @@ def main() -> None:
     leaf = jax.tree_util.tree_leaves(eg2.params)[0]
     p0 = float(jax.numpy.sum(jax.numpy.abs(leaf)))
 
-    print(json.dumps({"proc": jax.process_index(),
-                      "batch_sum": batch_sum, "recon": recon,
-                      "param_l1": p0}), flush=True)
+    record = {"proc": jax.process_index(), "batch_sum": batch_sum,
+              "recon": recon, "param_l1": p0}
+
+    if os.environ.get("DMT_MP_FID"):
+        # Sharded FID extraction on a pod: every host runs the Inception
+        # pool3 forward over its own LOCAL devices (eval/fid.py
+        # get_activations — a global mesh cannot device_put host batches),
+        # so identical inputs must give bit-identical activations on every
+        # host (the per-epoch FID of a pod run depends on it).
+        import numpy as np
+
+        from disentangle_mlp_tpu.eval.fid import get_activations
+
+        # deterministic host-local input (a sharded global batch is not
+        # fully addressable from one host): the synthetic source hashes
+        # per-index, so every host materializes the same 4 images
+        from disentangle_mlp_tpu.data.pipeline import SyntheticSource
+
+        src = SyntheticSource(size=16, img_size=32, seed=7)
+        imgs, _ = src.load_batch(np.arange(4))
+        acts = get_activations(((imgs + 1.0) / 2.0).astype(np.float32),
+                               batch_size=4, shard=True)
+        record["acts_sum"] = float(np.float32(acts.sum()))
+        record["acts_head"] = [float(v) for v in acts[0, :4]]
+
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -150,20 +150,24 @@ def test_setup_parallel_rejects_nondividing_explicit_group(tmp_path):
         _setup_parallel(cfg, devices=jax.devices()[:4])
 
 
-def test_propose_raises_when_grid_exhausted():
-    """Advisor r2: an exhausted grid must stop the search, not silently
-    propose grid[0] duplicates (which would collide run directories)."""
+def test_propose_partial_batch_then_exhaustion():
+    """Advisor r2 + r3: an exhausted grid must stop the search, not
+    silently propose grid[0] duplicates — but when SOME untried points
+    remain, propose_batch returns the partial batch (advisor r3: the last
+    budgeted grid points must still be evaluated, not discarded)."""
     from disentangle_mlp_tpu.bo.driver import GridExhausted
 
     search = BetaSearch(objective=lambda b: 0.0, grid_lo=1.0, grid_hi=4.0,
                         grid_step=1.0)
     search.seed(((1.0, 10.0), (2.0, 11.0)))
-    with pytest.raises(GridExhausted):
-        search.propose_batch(3)  # only 2 untried points remain
+    batch = search.propose_batch(3)  # only 2 untried points remain
+    assert sorted(batch) == [3.0, 4.0]  # partial, distinct, all untried
     search.observe(3.0, 9.0)
     search.observe(4.0, 9.5)
     with pytest.raises(GridExhausted):
         search.propose()
+    with pytest.raises(GridExhausted):
+        search.propose_batch(2)  # nothing untried at all -> raise
 
 
 def test_run_parallel_observes_survivors_before_raising():

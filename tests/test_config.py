@@ -57,3 +57,20 @@ def test_defaults_match_reference():
     assert d.beta == 50.0
     assert d.calc_fid is True and d.to_train is True
     assert d.test_recons is False and d.test_samples is False
+
+
+def test_negative_checkpoint_every_rejected(tmp_path):
+    """Advisor r3: bool(-1) is truthy and negative-divisor modulo never
+    hits 0, so --checkpoint_every -1 would silently degrade to
+    final-epoch-only saves; finalize must reject it instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        Config(name="neg", checkpoint_every=-1,
+               save_path=str(tmp_path / "%"),
+               log_path=str(tmp_path / "%/log")).finalize(make_dirs=False)
+    # the documented contract values still pass
+    for ok in (0, 1, 5):
+        Config(name=f"ok{ok}", checkpoint_every=ok,
+               save_path=str(tmp_path / "%"),
+               log_path=str(tmp_path / "%/log")).finalize(make_dirs=False)

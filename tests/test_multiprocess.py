@@ -22,18 +22,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_pod_path():
+def _run_pod(n_procs: int, extra_env=None) -> dict:
+    """Spawn ``n_procs`` workers (2 virtual CPU devices each) forming one
+    2·n_procs-device global mesh; return {proc_id: record}."""
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
         env.update(
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            JAX_NUM_PROCESSES="2",
+            JAX_NUM_PROCESSES=str(n_procs),
             JAX_PROCESS_ID=str(pid),
             PYTHONPATH=REPO,
         )
+        if extra_env:
+            env.update(extra_env)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -50,8 +54,80 @@ def test_two_process_pod_path():
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
     by_proc = {o["proc"]: o for o in outs}
-    assert set(by_proc) == {0, 1}
+    assert set(by_proc) == set(range(n_procs))
+    return by_proc
+
+
+def _assert_spmd_identical(by_proc: dict, keys=("batch_sum", "recon",
+                                                "param_l1")) -> None:
     # SPMD: global-batch sum, step metric, and updated params must agree
     # across processes exactly
-    for key in ("batch_sum", "recon", "param_l1"):
-        assert by_proc[0][key] == by_proc[1][key], (key, by_proc)
+    for key in keys:
+        vals = {by_proc[i][key] if not isinstance(by_proc[i][key], list)
+                else tuple(by_proc[i][key]) for i in by_proc}
+        assert len(vals) == 1, (key, by_proc)
+
+
+def test_two_process_pod_path():
+    _assert_spmd_identical(_run_pod(2))
+
+
+def test_four_process_pod_path():
+    """VERDICT r3 #4: the pod certification must go beyond 2 processes.
+    4 OS processes × 2 virtual devices = one 8-device global mesh; the
+    global batch (8) leaves each host with a 2-row slice."""
+    _assert_spmd_identical(_run_pod(4))
+
+
+def test_two_process_sharded_fid_extraction():
+    """Cross-process FID extraction (VERDICT r3 #4): each host runs the
+    Inception pool3 forward sharded over its own local devices; identical
+    inputs must produce bit-identical activations on every host."""
+    by_proc = _run_pod(2, extra_env={"DMT_MP_FID": "1"})
+    _assert_spmd_identical(by_proc, keys=("batch_sum", "recon", "param_l1",
+                                          "acts_sum", "acts_head"))
+
+
+def test_uneven_batch_across_hosts_raises():
+    """A global batch that does not divide the process count must raise the
+    documented error (data/pipeline.py DataLoader), not silently train on
+    unequal partial batches."""
+    import pytest
+
+    from disentangle_mlp_tpu.data.pipeline import DataLoader, SyntheticSource
+
+    src = SyntheticSource(size=32, img_size=8, seed=3)
+    with pytest.raises(ValueError, match="process"):
+        DataLoader(src, batch_size=6, shuffle=True,
+                   process_index=0, process_count=4)
+
+
+def test_uneven_per_host_file_count():
+    """Dataset size not divisible by (batch × hosts): with drop_last
+    batching, every simulated host must still decode exactly its
+    1/process_count slice of each surviving global batch, and the
+    assembled global batch must equal the single-host one bit-for-bit —
+    remainder files are dropped identically everywhere (the reference's
+    torch DataLoader drop_last contract, dataset.py:48-50)."""
+    import numpy as np
+
+    from disentangle_mlp_tpu.data.pipeline import DataLoader, SyntheticSource
+
+    H, B = 4, 8
+    # 27 images: 3 batches of 8, remainder 3 dropped; 27 % 4 != 0 too
+    full = SyntheticSource(size=27, img_size=8, seed=11)
+    ref_batches = [x for x, _ in DataLoader(
+        full, B, shuffle=True, seed=5, drop_last=True,
+        process_index=0, process_count=1)]
+    assert len(ref_batches) == 27 // B
+
+    for h in range(H):
+        loader = DataLoader(SyntheticSource(size=27, img_size=8, seed=11),
+                            B, shuffle=True, seed=5, drop_last=True,
+                            process_index=h, process_count=H)
+        got = [np.asarray(x) for x, _ in loader]
+        assert len(got) == len(ref_batches)
+        per = B // H
+        for ref, part in zip(ref_batches, got):
+            np.testing.assert_array_equal(
+                np.asarray(ref)[h * per:(h + 1) * per], part)

@@ -310,3 +310,74 @@ def test_mnist_synthetic_allows_default_channels(tmp_path):
     x = np.zeros((4, 28, 28, 3), np.float32)
     eg, d, m = exp.train_step(exp.eg_state, exp.d_state, x, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cache_warmup_fills_epoch_order(tmp_path):
+    """start_cache_warmup (round 4): the background warmer decodes the
+    NEXT epoch's access order into the cache (so the 4-7 min first-compile
+    window pre-pays epoch 1's decode), values identical to cold loads,
+    and the producer never re-decodes what the warmer already cached."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    src = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="on")
+    loader = pl.DataLoader(src, batch_size=2, shuffle=True, seed=3,
+                           process_index=0, process_count=1)
+    t = loader.start_cache_warmup()
+    assert t is not None
+    t.join(60)
+    assert not t.is_alive()
+    assert src._cached.all()
+
+    # idempotent: a second call with a finished warmer restarts harmlessly
+    assert src.start_cache_warmup() is not None
+
+    # cached epoch batches equal a cacheless loader's bit-for-bit
+    ref_src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
+                                   cache="off")
+    ref = pl.DataLoader(ref_src, batch_size=2, shuffle=True, seed=3,
+                        process_index=0, process_count=1)
+    calls = []
+    real = src._decode_u8
+    src._decode_u8 = lambda idx: (calls.append(list(np.asarray(idx))),
+                                  real(idx))[1]
+    for (x, y), (xr, yr) in zip(loader, ref):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(xr))
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(yr))
+    assert calls == [], "warmed epoch must not decode"
+
+
+def test_cache_warmup_per_host_slice(tmp_path):
+    """On a (simulated) pod, each host warms exactly the rows its producer
+    will feed — the per-batch process_local_slice, not the full epoch."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    src = pl.ImageFolderSource(root, img_size=32, num_workers=2, cache="on")
+    loader = pl.DataLoader(src, batch_size=4, shuffle=True, seed=9,
+                           process_index=1, process_count=2)
+    t = loader.start_cache_warmup()
+    t.join(60)
+    idx = loader._epoch_indices()
+    expect = np.zeros(len(src), bool)
+    for i in range(len(loader)):
+        b = idx[i * 4:(i + 1) * 4]
+        expect[pl.process_local_slice(b, 1, 2)] = True
+    np.testing.assert_array_equal(src._cached, expect)
+
+
+def test_cache_warmup_noops(tmp_path, monkeypatch):
+    """No cache, or DMT_DECODE_WARMUP=0, → no warmer thread."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    off = pl.ImageFolderSource(root, img_size=32, cache="off")
+    assert pl.DataLoader(off, 2, process_index=0,
+                         process_count=1).start_cache_warmup() is None
+    synth = pl.SyntheticSource(size=8, img_size=8)
+    assert pl.DataLoader(synth, 2, process_index=0,
+                         process_count=1).start_cache_warmup() is None
+    on = pl.ImageFolderSource(root, img_size=32, cache="on")
+    monkeypatch.setenv("DMT_DECODE_WARMUP", "0")
+    assert pl.DataLoader(on, 2, process_index=0,
+                         process_count=1).start_cache_warmup() is None
