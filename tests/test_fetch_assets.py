@@ -1,0 +1,59 @@
+"""dmt-fetch-assets: explicit-egress asset bootstrap (VERDICT r3 missing
+#3). The reference downloads implicitly (scoring/fid.py:268-283,
+dataset.py:26-35); this build requires --allow_network and verifies
+digests before installing."""
+
+import hashlib
+import os
+
+import pytest
+
+from disentangle_mlp_tpu.cli import fetch_assets as fa
+
+
+def test_offline_mode_prints_plan_and_exits_nonzero(tmp_path, capsys,
+                                                    monkeypatch):
+    monkeypatch.setenv("FID_INCEPTION_WEIGHTS", str(tmp_path / "absent.pth"))
+    with pytest.raises(SystemExit) as e:
+        fa.main(["--dest", str(tmp_path), "--mnist"])
+    assert e.value.code == 1
+    out = capsys.readouterr().out
+    assert "--allow_network" in out
+    assert "pt_inception-2015-12-05-6726825d.pth" in out
+    assert "t10k-images-idx3-ubyte.gz" in out
+    assert "CelebA" in out  # consent-gated: never auto-fetched
+    assert not list(tmp_path.glob("*.pth"))  # nothing touched the disk
+
+
+def test_download_verifies_digest(tmp_path, monkeypatch):
+    payload_ok = b"fake weights"
+    prefix = hashlib.sha256(payload_ok).hexdigest()[:8]
+
+    def fake_retrieve(url, tmp):
+        with open(tmp, "wb") as f:
+            f.write(payload_ok)
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    dest = str(tmp_path / "w.pth")
+    fa._download("http://example.invalid/w.pth", dest, prefix)
+    assert os.path.exists(dest)
+
+    # wrong digest: refuse + leave no file behind
+    bad_dest = str(tmp_path / "bad.pth")
+    with pytest.raises(RuntimeError, match="digest mismatch"):
+        fa._download("http://example.invalid/bad.pth", bad_dest, "00000000")
+    assert not os.path.exists(bad_dest)
+    assert not list(tmp_path.glob("tmp*"))  # temp cleaned up
+
+
+def test_already_present_fetches_nothing(tmp_path, capsys, monkeypatch):
+    w = tmp_path / "pt_inception-2015-12-05-6726825d.pth"
+    w.write_bytes(b"x")
+    # WEIGHT_SEARCH_PATHS snapshots the env at import; patch the lookup
+    from disentangle_mlp_tpu.eval import inception
+
+    monkeypatch.setattr(inception, "find_fid_weights", lambda: str(w))
+    fa.main(["--dest", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "already present" in out and "nothing to fetch" in out

@@ -30,7 +30,11 @@ def test_dryrun_multichip_bootstraps_from_one_device():
            if k not in ("XLA_FLAGS", "DMT_DRYRUN_CHILD")}
     env["JAX_PLATFORMS"] = "cpu"  # 1 CPU device in the parent
     env["DMT_DRYRUN_POD"] = "0"  # pod path covered by test_multiprocess.py
-    code = ("import jax, __graft_entry__ as g; "
+    # the axon plugin IGNORES the JAX_PLATFORMS env var (CLAUDE.md): force
+    # the CPU platform via jax.config too, or this child attaches to the
+    # real chip and hangs whenever the tunnel is down
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import __graft_entry__ as g; "
             "assert len(jax.devices()) == 1, jax.devices(); "
             "g.dryrun_multichip(4)")
     r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
