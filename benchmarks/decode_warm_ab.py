@@ -54,13 +54,25 @@ def run_once(image_root: str, warm: bool, batch: int, tag: str) -> dict:
         "--log_path", tempfile.mkdtemp(prefix=f"warmablog_{tag}_") + "/%",
     ]
     t0 = time.time()
-    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
-                          text=True, timeout=3600)
+    # NEVER SIGKILL a TPU process (the chip claim wedges the tunnel —
+    # CLAUDE.md); a tunnel wedge can also stall a healthy run for 30+ min
+    # and resume. Generous deadline + SIGTERM-only, then WAIT for the
+    # child to release the chip before giving up the whole A/B.
+    proc = subprocess.Popen(cmd, env=env, cwd=REPO,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    try:
+        out, err = proc.communicate(timeout=7200)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        out, err = proc.communicate()  # wait for a clean chip release
+        raise RuntimeError(f"run {tag} exceeded 2 h (tunnel wedge?); "
+                           f"terminated cleanly:\n{(out or '')[-1000:]}")
     wall = time.time() - t0
     if proc.returncode != 0:
         raise RuntimeError(
-            f"run {tag} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
-    m = EPOCH_RE.search(proc.stdout)
+            f"run {tag} failed:\n{out[-2000:]}\n{err[-2000:]}")
+    m = EPOCH_RE.search(out)
     rate = float(m.group(1)) if m else None
     return {"warm": warm, "epoch0_img_s": rate, "total_wall_s": round(wall, 1),
             "tag": tag}

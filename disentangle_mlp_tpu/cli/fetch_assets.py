@@ -6,7 +6,9 @@ The reference self-downloads its Inception graph at import time
 (dataloader/dataset.py:26-35). This build's policy is ZERO implicit
 egress: every network access must be an explicit user action, so the
 download lives behind its own command + ``--allow_network`` flag and
-every file is sha256-verified before it is moved into place.
+every file is verified before it is moved into place (the FID weights
+against the sha256 prefix embedded in the published filename; the MNIST
+idx files by parsing their binary format and checking the known shapes).
 
     dmt-fetch-assets --allow_network [--dest ~/.cache/disentangle_mlp_tpu]
     dmt-fetch-assets            # offline: report what is missing + URLs
@@ -33,13 +35,31 @@ FID_WEIGHTS = {
     "sha256_prefix": "6726825d",
 }
 
-# MNIST idx files (reference dataset.py:26-35 fetches via torchvision).
+# MNIST idx files (reference dataset.py:26-35 fetches via torchvision),
+# with their known shapes for post-download structural verification.
 MNIST_FILES = [
     {"url": f"https://storage.googleapis.com/cvdf-datasets/mnist/{name}",
-     "file": name}
-    for name in ("train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
-                 "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz")
+     "file": name, "shape": shape}
+    for name, shape in (
+        ("train-images-idx3-ubyte.gz", (60000, 28, 28)),
+        ("train-labels-idx1-ubyte.gz", (60000,)),
+        ("t10k-images-idx3-ubyte.gz", (10000, 28, 28)),
+        ("t10k-labels-idx1-ubyte.gz", (10000,)),
+    )
 ]
+
+
+def _verify_idx(path: str, shape) -> None:
+    """Parse the downloaded idx file and require the canonical shape — a
+    truncated/substituted download cannot pass (data/pipeline._read_idx
+    validates the magic and dtype; frombuffer+reshape validates length)."""
+    from ..data.pipeline import _read_idx
+
+    arr = _read_idx(path)
+    if tuple(arr.shape) != tuple(shape):
+        raise RuntimeError(
+            f"{path}: idx shape {arr.shape} != expected {tuple(shape)} — "
+            f"refusing to install")
 
 
 def _sha256(path: str) -> str:
@@ -50,10 +70,13 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def _download(url: str, dest: str, sha256_prefix: str = "") -> str:
-    """Fetch ``url`` → ``dest`` atomically, verifying the digest prefix
-    (the FID file embeds its digest prefix in its name, the convention the
-    loader checks — eval/inception.py)."""
+def _download(url: str, dest: str, sha256_prefix: str = "",
+              verify=None) -> str:
+    """Fetch ``url`` → ``dest`` atomically. ``sha256_prefix`` checks the
+    digest prefix (the FID file embeds its digest prefix in its published
+    name, the convention the loader checks — eval/inception.py);
+    ``verify(tmp_path)`` runs any extra structural check (idx parsing for
+    MNIST). Either failure leaves nothing installed."""
     import urllib.request
 
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
@@ -67,6 +90,8 @@ def _download(url: str, dest: str, sha256_prefix: str = "") -> str:
             raise RuntimeError(
                 f"digest mismatch for {url}: got {digest[:16]}…, expected "
                 f"prefix {sha256_prefix} — refusing to install")
+        if verify is not None:
+            verify(tmp)
         os.replace(tmp, dest)
     finally:
         if os.path.exists(tmp):
@@ -93,27 +118,29 @@ def main(argv=None) -> None:
 
     plan = []
     have = find_fid_weights()
+    weights_dest = os.path.join(ns.dest, FID_WEIGHTS["file"])
     if have:
         print(f"FID Inception weights already present: {have}")
     else:
-        plan.append((FID_WEIGHTS["url"],
-                     os.path.join(ns.dest, FID_WEIGHTS["file"]),
-                     FID_WEIGHTS["sha256_prefix"]))
+        plan.append((FID_WEIGHTS["url"], weights_dest,
+                     FID_WEIGHTS["sha256_prefix"], None))
     if ns.mnist:
         mdest = ns.mnist_dest or os.path.join(ns.dest, "mnist")
         from ..data.pipeline import find_mnist_files
         if find_mnist_files(mdest):
             print(f"MNIST idx files already present under {mdest}")
         else:
-            plan.extend((m["url"], os.path.join(mdest, m["file"]), "")
-                        for m in MNIST_FILES)
+            plan.extend(
+                (m["url"], os.path.join(mdest, m["file"]), "",
+                 (lambda p, shape=m["shape"]: _verify_idx(p, shape)))
+                for m in MNIST_FILES)
 
     if not plan:
         print("nothing to fetch")
         return
     if not ns.allow_network:
         print("offline mode (pass --allow_network to download):")
-        for url, dest, _ in plan:
+        for url, dest, _, _ in plan:
             print(f"  {url}\n    -> {dest}")
         print("\nCelebA is consent-gated and cannot be auto-fetched: place "
               "the aligned 64x64-croppable images under "
@@ -121,9 +148,18 @@ def main(argv=None) -> None:
               "dmt-reproduce --assets_check.")
         sys.exit(1)
 
-    for url, dest, prefix in plan:
-        _download(url, dest, prefix)
-    print(json.dumps({"fetched": [d for _, d, _ in plan]}))
+    for url, dest, prefix, verify in plan:
+        _download(url, dest, prefix, verify)
+    from ..eval.inception import WEIGHT_SEARCH_PATHS
+    if (any(d == weights_dest for _, d, _, _ in plan)
+            and weights_dest not in WEIGHT_SEARCH_PATHS):
+        # a custom --dest is outside the loader's search list — without
+        # the env var the FID stack would silently fall back to random
+        # weights (review r4 #2)
+        print(f"NOTE: {weights_dest} is outside the default search paths; "
+              f"set FID_INCEPTION_WEIGHTS={weights_dest} for runs to "
+              f"find it.")
+    print(json.dumps({"fetched": [d for _, d, _, _ in plan]}))
 
 
 if __name__ == "__main__":

@@ -161,6 +161,18 @@ class Config:
         Mirrors envsetter.py:60-64 (templating) and :68-95 (dir tree),
         fixing the missing ``fid_results/recons`` entry.
         """
+        # argparse `choices` only protects the CLI; programmatic Configs
+        # (dataclasses.replace in bo/driver.py, scripts, tests) must fail
+        # HERE, not hours later at the first checkpoint save / train step.
+        _allowed = {"dtype": ("bfloat16", "float32"),
+                    "optimizer_dtype": ("float32", "bfloat16"),
+                    "checkpoint_save_dtype": ("float32", "bfloat16"),
+                    "freeze_mode": ("observed", "intent")}
+        for field, allowed in _allowed.items():
+            if getattr(self, field) not in allowed:
+                raise ValueError(
+                    f"{field} must be one of {allowed}, "
+                    f"got {getattr(self, field)!r}")
         if self.checkpoint_every < 0:
             # bool(-1) is truthy and negative-divisor modulo never hits 0,
             # so a negative value would silently degrade to final-epoch-only

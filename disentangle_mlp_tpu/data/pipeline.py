@@ -367,6 +367,16 @@ class SyntheticSource:
         rng = np.random.default_rng(seed)
         self._basis = rng.normal(
             size=(16, img_size, img_size, channels)).astype(np.float32)
+        # The materialized-dataset RAM cache claims the same GLOBAL budget
+        # as the folder decode caches (DMT_DECODE_CACHE_BYTES, default
+        # 4 GiB): k parallel-β loaders must share one allowance, not
+        # multiply it (k × 4 GiB of silent f32 caches would exhaust the
+        # single-CPU host — review r4 #7).
+        nbytes = size * img_size * img_size * channels * 4
+        self._use_cache = _decode_cache_reserve(nbytes, forced=False)
+        if self._use_cache:
+            import weakref
+            weakref.finalize(self, _decode_cache_release, nbytes)
 
     def __len__(self) -> int:
         return self.size
@@ -388,24 +398,19 @@ class SyntheticSource:
         return (np.sqrt(-2.0 * np.log(u1))
                 * np.cos(2.0 * np.pi * u2)).astype(np.float32)
 
-    # Cache materialized datasets up to 4 GiB in RAM (a 64k-image 64×64×3
-    # f32 set is 3.2 GB; the data-scale reproduction runs need it and the
-    # host has >100 GB). Re-materializing per batch is vectorized but still
-    # costs single-CPU host time the prefetcher must hide.
-    _CACHE_LIMIT_BYTES = 4 << 30
-
     def _materialize(self, idx: np.ndarray) -> np.ndarray:
         coeff = self._hash_normal(idx, np.arange(16), self.seed) / 4.0
         return np.tanh(np.tensordot(coeff, self._basis, axes=1)).astype(np.float32)
 
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         idx = np.asarray(indices, np.int64)
-        nbytes = self.size * self.img_size ** 2 * self.channels * 4
-        if nbytes <= self._CACHE_LIMIT_BYTES:
+        if self._use_cache:
             if not hasattr(self, "_cache"):
                 self._cache = self._materialize(np.arange(self.size))
             out = self._cache[idx]
         else:
+            # over budget: re-materialize per batch (vectorized gemm+tanh;
+            # the prefetch thread hides it behind the device step)
             out = self._materialize(idx)
         labels = (idx % 2).astype(np.int32)
         return out, labels
@@ -470,12 +475,11 @@ class DataLoader:
     def dataset_size(self) -> int:
         return len(self.source)
 
-    def _epoch_indices(self, epoch: Optional[int] = None) -> np.ndarray:
+    def _epoch_indices(self) -> np.ndarray:
         n = len(self.source)
         idx = np.arange(n)
         if self.shuffle:
-            rng = np.random.default_rng(
-                self.seed + (self._epoch if epoch is None else epoch))
+            rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         return idx
 

@@ -13,7 +13,11 @@ from disentangle_mlp_tpu.cli import fetch_assets as fa
 
 def test_offline_mode_prints_plan_and_exits_nonzero(tmp_path, capsys,
                                                     monkeypatch):
-    monkeypatch.setenv("FID_INCEPTION_WEIGHTS", str(tmp_path / "absent.pth"))
+    # WEIGHT_SEARCH_PATHS snapshots the env at import — patch the lookup,
+    # or this test passes vacuously on hosts that have real weights
+    from disentangle_mlp_tpu.eval import inception
+
+    monkeypatch.setattr(inception, "find_fid_weights", lambda: None)
     with pytest.raises(SystemExit) as e:
         fa.main(["--dest", str(tmp_path), "--mnist"])
     assert e.value.code == 1
