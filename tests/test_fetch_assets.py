@@ -61,3 +61,34 @@ def test_already_present_fetches_nothing(tmp_path, capsys, monkeypatch):
     fa.main(["--dest", str(tmp_path)])
     out = capsys.readouterr().out
     assert "already present" in out and "nothing to fetch" in out
+
+
+def test_verify_idx_structural_check(tmp_path):
+    """MNIST downloads are format-verified: the canonical shape passes, a
+    truncated/wrong file refuses to install."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    def write_labels(path, n):
+        with gzip.open(path, "wb") as f:
+            f.write(struct.pack(">HBB", 0, 0x08, 1))
+            f.write(struct.pack(">I", n))
+            f.write(np.zeros(n, np.uint8).tobytes())
+
+    good = str(tmp_path / "t10k-labels-idx1-ubyte.gz")
+    write_labels(good, 10000)
+    fa._verify_idx(good, (10000,))  # canonical shape: ok
+
+    bad = str(tmp_path / "truncated.gz")
+    write_labels(bad, 9999)
+    with pytest.raises(RuntimeError, match="idx shape"):
+        fa._verify_idx(bad, (10000,))
+
+    notidx = str(tmp_path / "notidx.gz")
+    import gzip as g
+    with g.open(notidx, "wb") as f:
+        f.write(b"junkjunkjunk")
+    with pytest.raises(ValueError):
+        fa._verify_idx(notidx, (10000,))
