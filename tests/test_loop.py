@@ -3,6 +3,7 @@ eval sweep, on synthetic data with toy widths (the reference's own smoke
 strategy of identity-fn fakes, utils/utils.py:35-57, upgraded to real runs)."""
 
 import json
+import os
 from pathlib import Path
 
 import pytest
@@ -181,3 +182,52 @@ def test_checkpoint_every_zero_disables_saves(tmp_path):
     run_vae(cfg3)
     names = sorted(p.name for p in Path(cfg3.model_path).glob("model_*"))
     assert names == ["model_2", "model_3"]
+
+
+def test_loop_starts_decode_warmup_on_folder_data(tmp_path):
+    """Round-4 wiring: run_vae over a cached ImageFolder must kick off the
+    background decode warm-up (it overlaps the first compile on the real
+    chip) and the run's outputs stay identical to a warmup-disabled run."""
+    import numpy as np
+    from PIL import Image
+
+    for i in range(12):
+        d = tmp_path / "imgs" / "train" / "x"
+        d.mkdir(parents=True, exist_ok=True)
+        arr = np.random.default_rng(i).integers(0, 255, (40, 40, 3),
+                                                dtype=np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+
+    import threading
+
+    from disentangle_mlp_tpu.data.pipeline import DataLoader
+
+    started = []
+    orig = DataLoader.start_cache_warmup
+
+    def spy(self):
+        t = orig(self)
+        started.append(t)
+        return t
+
+    results = {}
+    for tag, warm in (("on", "1"), ("off", "0")):
+        os.environ["DMT_DECODE_WARMUP"] = warm
+        try:
+            DataLoader.start_cache_warmup = spy
+            cfg = tiny_run_cfg(
+                tmp_path, f"warm_{tag}", synthetic_data=False,
+                batch_size_train=4, calc_fid=False,
+                cache_decoded="on",
+                image_root_train=str(tmp_path / "imgs" / "train"),
+                image_root_val=str(tmp_path / "imgs" / "train"),
+                image_root_test=str(tmp_path / "imgs" / "train"))
+            results[tag] = run_vae(cfg)["Avg Loss"]
+        finally:
+            DataLoader.start_cache_warmup = orig
+            os.environ.pop("DMT_DECODE_WARMUP", None)
+
+    # warm run: the loop called it and a real thread ran; off: env kill
+    # switch returned None
+    assert any(isinstance(t, threading.Thread) for t in started)
+    assert results["on"] == results["off"]  # values unaffected by warmup
