@@ -1,10 +1,19 @@
 #!/bin/bash
-# Round-4 TPU queue v2: wait for tunnel health, then run steps (2 tries
-# (checked in from /tmp/tpu_queue.sh — round-4 TPU evidence queue; safe to
+# (checked in from /tmp/tpu_queue3.sh — round-4 TPU evidence queue; safe to
 # relaunch: every step is skipped once its artifact exists)
-# each). If a step fails twice, re-verify tunnel health before moving on.
+# Round-4 TPU queue v3: quick evidence first, long runs after, hard cutoff.
+#
+# Rationale (09:07 UTC): the tunnel has been down >9 h. If it returns late,
+# v2's order (3h trajectory first) banks nothing before the round ends and
+# could still hold the chip when the driver runs bench.py. v3 runs the
+# ~20-30 min steps first (bench / op profile / ckpt A/B -> directives 3,7,6),
+# then the 3 h trajectory (directive 1), BO (2), decode A/B (5). No new step
+# starts after CUTOFF_START; per-step timeouts are clamped to CUTOFF_HARD so
+# the chip is free for the driver's end-of-round bench.
 cd /root/repo
 Q=/tmp/tpu_queue.log
+CUTOFF_START=${CUTOFF_START:-$(date -u -d "today 18:20" +%s)}
+CUTOFF_HARD=${CUTOFF_HARD:-$(date -u -d "today 19:00" +%s)}
 
 probe () {
   timeout 600 python -c "
@@ -14,8 +23,9 @@ print(float(jnp.ones((128,128)).sum()), flush=True)" >> /tmp/q_probe.log 2>&1
 
 wait_for_tpu () {
   for i in $(seq 1 200); do
-    echo "[wait_for_tpu $i] $(date +%H:%M:%S)" >> $Q
-    probe && { echo "[wait_for_tpu] UP $(date +%H:%M:%S)" >> $Q; return 0; }
+    [ "$(date +%s)" -ge "$CUTOFF_START" ] && { echo "[wait_for_tpu] cutoff reached" >> $Q; exit 0; }
+    echo "[wait_for_tpu v3 $i] $(date -u +%H:%M:%S)" >> $Q
+    probe && { echo "[wait_for_tpu] UP $(date -u +%H:%M:%S)" >> $Q; return 0; }
     sleep 180
   done
   return 1
@@ -23,22 +33,43 @@ wait_for_tpu () {
 
 run_step () {
   local name="$1"; local tmo="$2"; shift 2
-  [ -n "$(eval echo \$SKIP_$name)" ] && return 0
+  local now rem
+  now=$(date +%s)
+  [ "$now" -ge "$CUTOFF_START" ] && { echo "[$name] skipped: past start-cutoff" >> $Q; return 1; }
+  rem=$(( CUTOFF_HARD - now ))
+  [ "$rem" -lt 600 ] && { echo "[$name] skipped: <10min to hard cutoff" >> $Q; return 1; }
+  [ "$tmo" -gt "$rem" ] && tmo=$rem
   for attempt in 1 2; do
-    echo "[$name attempt $attempt] $(date +%H:%M:%S)" >> $Q
+    echo "[$name attempt $attempt tmo=$tmo] $(date -u +%H:%M:%S)" >> $Q
     PYTHONUNBUFFERED=1 timeout "$tmo" "$@" > /tmp/q_${name}.log 2>&1
     rc=$?
-    echo "[$name attempt $attempt] rc=$rc $(date +%H:%M:%S)" >> $Q
+    echo "[$name attempt $attempt] rc=$rc $(date -u +%H:%M:%S)" >> $Q
     [ $rc -eq 0 ] && return 0
+    [ "$(date +%s)" -ge "$CUTOFF_START" ] && { echo "[$name] no retry: past cutoff" >> $Q; return 1; }
     wait_for_tpu
   done
   echo "[$name] FAILED" >> $Q
   return 1
 }
 
-echo "=== queue v2 start $(date) ===" >> $Q
+# Whatever way this script exits, never leave the CPU study suspended.
+trap '[ -f /tmp/dstudy_q.pid ] && kill -CONT "$(cat /tmp/dstudy_q.pid)" 2>/dev/null' EXIT
+
+echo "=== queue v3 start $(date -u) (cutoff_start=$(date -u -d @$CUTOFF_START +%H:%M) hard=$(date -u -d @$CUTOFF_HARD +%H:%M)) ===" >> $Q
 wait_for_tpu || { echo "tunnel never came back" >> $Q; exit 1; }
 
+# Pause the CPU-side destabilization study while the chip is fed from this
+# host (synthetic feed + fetches are host-side; contention skews perf runs).
+[ -f /tmp/dstudy_q.pid ] && kill -STOP "$(cat /tmp/dstudy_q.pid)" 2>/dev/null
+
+# --- quick evidence first -------------------------------------------------
+run_step bench 3600 python bench.py
+
+[ -f OP_PROFILE_r4.json ] || run_step opprof 3600 python -m benchmarks.op_profile --trace --json_out OP_PROFILE_r4.json
+
+[ -f CKPT_DTYPE_AB_r4.json ] || run_step ckab 3600 python -m benchmarks.ckpt_dtype_ab --out CKPT_DTYPE_AB_r4.json
+
+# --- long runs ------------------------------------------------------------
 [ -f REPRODUCTION_SYNTH_r4.json ] || run_step traj 10800 python -m disentangle_mlp_tpu.cli.reproduce \
   --name r4traj32k --synthetic_data True --synthetic_train_size 32768 \
   --stats_out .traj_r4/stats_32k.npz --stats_images 32768 --calib_images 8192 \
@@ -53,13 +84,8 @@ wait_for_tpu || { echo "tunnel never came back" >> $Q; exit 1; }
   --save_path ".bo_r4/%" --log_path ".bo_r4/%/log" \
   --fid_path_pretrained .traj_r4/stats_32k.npz
 
-[ -f CKPT_DTYPE_AB_r4.json ] || run_step ckab 3600 python -m benchmarks.ckpt_dtype_ab --out CKPT_DTYPE_AB_r4.json
-
-[ -f OP_PROFILE_r4.json ] || run_step opprof 3600 python -m benchmarks.op_profile --trace --json_out OP_PROFILE_r4.json
-
-run_step bench 3600 python bench.py
-
 [ -f DECODE_WARM_AB_r4.json ] || run_step warmab 7200 python -m benchmarks.decode_warm_ab \
   --image_root /tmp/ab_imgs/train --out DECODE_WARM_AB_r4.json
 
-echo "=== queue v2 done $(date) ===" >> $Q
+[ -f /tmp/dstudy_q.pid ] && kill -CONT "$(cat /tmp/dstudy_q.pid)" 2>/dev/null
+echo "=== queue v3 done $(date -u) ===" >> $Q
