@@ -115,6 +115,13 @@ class Config:
     # (for benchmarking / machines without CelebA).
     synthetic_data: bool = False
     synthetic_train_size: int = 4096
+    # Gaussian blur σ (pixels at img 64, scaled with resolution) of the
+    # synthetic basis; <0 = the resolution-scaled default, 0 = the legacy
+    # per-pixel white basis. The white basis destabilizes training —
+    # recon gain is unreachable through a strided-conv encoder, Eec pins
+    # at the predict-mean floor (round-4 study, ROUND4.md) — so 0 exists
+    # only for the destabilization study harnesses.
+    synthetic_basis_sigma: float = -1.0
     # If set, jax.profiler traces are written here.
     profile_dir: str = ""
     # Keep only the newest N checkpoints (0 = keep all, the reference's
@@ -285,6 +292,10 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=int, default=d.mesh_shape)
     p.add_argument("--synthetic_data", type=str2bool, default=d.synthetic_data)
     p.add_argument("--synthetic_train_size", type=int, default=d.synthetic_train_size)
+    p.add_argument("--synthetic_basis_sigma", type=float,
+                   default=d.synthetic_basis_sigma,
+                   help="synthetic basis blur σ; <0 = resolution-scaled "
+                        "default, 0 = legacy white basis (study-only)")
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--resnet18_ckpt", type=str, default=d.resnet18_ckpt)
     p.add_argument("--keep_checkpoints", type=int, default=d.keep_checkpoints)

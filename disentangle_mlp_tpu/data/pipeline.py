@@ -358,15 +358,44 @@ class SyntheticSource:
     machines without the dataset."""
 
     def __init__(self, size: int = 4096, img_size: int = 64,
-                 channels: int = 3, seed: int = 0):
+                 channels: int = 3, seed: int = 0,
+                 basis_sigma: Optional[float] = None):
         self.size = size
         self.img_size = img_size
         self.channels = channels
         self.seed = seed
         # Low-frequency basis so images have image-like statistics.
+        #
+        # The blur is ESSENTIAL, not cosmetic (round-4 destabilization
+        # study, ROUND4.md): with a per-pixel white-noise basis the 16
+        # coefficients are nearly unrecoverable through a strided-conv
+        # encoder (averaging kills white detail), so the VAE's reachable
+        # recon gain is ~0, β·KLD wins, and Eec sits pinned at the
+        # predict-the-mean floor — recon-FID then tracks GAN drift
+        # (the round-3 252→102→275 instability). Gaussian-blurring the
+        # basis (σ = 6 px at img 64, scaled with resolution) made Eec
+        # decline monotonically below the floor in the same quarter-width
+        # setup. basis_sigma=0 reproduces the legacy white basis (kept for
+        # the destabilization study harnesses).
+        if basis_sigma is None:
+            basis_sigma = 6.0 * img_size / 64.0
+        self.basis_sigma = float(basis_sigma)
         rng = np.random.default_rng(seed)
-        self._basis = rng.normal(
-            size=(16, img_size, img_size, channels)).astype(np.float32)
+        b = rng.normal(size=(16, img_size, img_size, channels))
+        if self.basis_sigma > 0.0:
+            # circular Gaussian blur via FFT (numpy-only); transfer
+            # function of a Gaussian with std σ is exp(-2π²σ²f²)
+            f = np.fft.fftfreq(img_size)
+            g = np.exp(-2.0 * (np.pi * self.basis_sigma * f) ** 2)
+            spec = np.fft.fft2(b, axes=(1, 2))
+            spec *= g[None, :, None, None] * g[None, None, :, None]
+            b = np.fft.ifft2(spec, axes=(1, 2)).real
+            # per-pixel renormalize so Var(z_p) = (1/16)·Σ_j B_jp² stays
+            # ~1 (keeps the tanh saturation and predict-mean floor of the
+            # white basis, so loss scales remain comparable)
+            ss = np.sqrt((b ** 2).sum(axis=0, keepdims=True) / b.shape[0])
+            b = b / np.maximum(ss, 1e-8)
+        self._basis = b.astype(np.float32)
         # The materialized-dataset RAM cache claims the same GLOBAL budget
         # as the folder decode caches (DMT_DECODE_CACHE_BYTES, default
         # 4 GiB): k parallel-β loaders must share one allowance, not
@@ -605,9 +634,11 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
             n = getattr(opt, "synthetic_train_size", 4096)
             if not shuffle:
                 n = max(opt.batch_size_test * 4, 64)
+            sig = float(getattr(opt, "synthetic_basis_sigma", -1.0))
             src = SyntheticSource(size=n, img_size=opt.img_size,
                                   channels=opt.input_channels,
-                                  seed=opt.seed + split_seed)
+                                  seed=opt.seed + split_seed,
+                                  basis_sigma=None if sig < 0 else sig)
         elif source_cls is MNISTSource:
             src = MNISTSource(root, img_size=opt.img_size)
         else:

@@ -24,6 +24,45 @@ def test_synthetic_source_deterministic():
     assert x1.min() >= -1.0 and x1.max() <= 1.0
 
 
+def test_synthetic_basis_is_low_frequency():
+    """The default basis must be genuinely low-frequency (round-4 root
+    cause: a white basis makes the recon target unlearnable through a
+    strided-conv encoder and training posterior-collapses — ROUND4.md).
+    Smoothness metric: mean |∂x/∂h| of the images, LF ≪ white."""
+    lf = SyntheticSource(size=64, img_size=64, seed=0)
+    white = SyntheticSource(size=64, img_size=64, seed=0, basis_sigma=0.0)
+    assert lf.basis_sigma == 6.0 and white.basis_sigma == 0.0
+    x_lf = lf.load_batch(np.arange(64))[0]
+    x_w = white.load_batch(np.arange(64))[0]
+    grad_lf = np.abs(np.diff(x_lf, axis=1)).mean()
+    grad_w = np.abs(np.diff(x_w, axis=1)).mean()
+    assert grad_lf < 0.2 * grad_w, (grad_lf, grad_w)
+    # per-pixel renormalization keeps the predict-mean floor (≈ loss
+    # scale) comparable to the white basis: within 5%
+    def floor(x):
+        f = x.reshape(len(x), -1).astype(np.float64)
+        return ((f - f.mean(0)) ** 2).sum(1).mean()
+    assert abs(floor(x_lf) / floor(x_w) - 1.0) < 0.05
+    # resolution scaling: σ defaults to 6·(img/64)
+    assert SyntheticSource(size=4, img_size=16, seed=0).basis_sigma == 1.5
+
+
+def test_synthetic_basis_sigma_flag_plumbs_through(tmp_path):
+    cfg = Config(name="t", synthetic_data=True, synthetic_train_size=64,
+                 batch_size_train=16, img_size=16,
+                 synthetic_basis_sigma=0.0,
+                 save_path=str(tmp_path / "%"),
+                 log_path=str(tmp_path / "%/log")).finalize()
+    train, _, _ = get_data_loader(cfg)
+    assert train.source.basis_sigma == 0.0
+    cfg2 = Config(name="t2", synthetic_data=True, synthetic_train_size=64,
+                  batch_size_train=16, img_size=16,
+                  save_path=str(tmp_path / "2" / "%"),
+                  log_path=str(tmp_path / "2" / "%/log")).finalize()
+    train2, _, _ = get_data_loader(cfg2)
+    assert train2.source.basis_sigma == 1.5  # 6·(16/64)
+
+
 def test_loader_shuffle_and_epochs():
     src = SyntheticSource(size=32, img_size=8, seed=0)
     dl = DataLoader(src, batch_size=8, shuffle=True, seed=1)
