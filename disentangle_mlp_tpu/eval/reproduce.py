@@ -108,6 +108,12 @@ def run_reproduction(cfg: Config, stats_out: str,
 
     train, val, test = get_data_loader(cfg)
     report["synthetic_data"] = bool(cfg.synthetic_data) or val is None
+    if report["synthetic_data"]:
+        # provenance: the r3 destabilization traced to the legacy white
+        # basis (posterior collapse at the predict-mean floor, ROUND4.md);
+        # record which generator this run used so curves are comparable
+        report["synthetic_basis_sigma"] = getattr(
+            train.source, "basis_sigma", None)
 
     # (2) reference statistics from the train split
     print(f"[1/3] building reference statistics → {stats_out}")

@@ -38,6 +38,8 @@ def test_reproduction_pipeline_synthetic(tmp_path):
     assert report["inception_pretrained"] is False
     assert report["within_tolerance"] is False
     assert report["target_fid"] == 128.34
+    # generator provenance: records the fixed LF basis (6·32/64 = 3.0)
+    assert report["synthetic_basis_sigma"] == 3.0
     # the report is valid JSON on disk
     with open(report_path) as f:
         assert json.load(f)["stats_images"] == 32
