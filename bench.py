@@ -159,7 +159,31 @@ def baseline_images_per_sec() -> float:
     return rate
 
 
+def tpu_reachable(timeout_s: int = 900) -> bool:
+    """Bounded reachability probe in a subprocess. The axon tunnel has been
+    observed DOWN for hours (round 4): in-process backend init then hangs
+    ~35 min before raising UNAVAILABLE, which would leave this script's
+    caller with a dead wait and a raw traceback instead of a diagnosis.
+    A trivial device op needs no real compile, so a generous timeout still
+    fails an order of magnitude faster than the hang. DMT_BENCH_PROBE=0
+    skips the probe (one extra process startup when the chip is up)."""
+    import subprocess
+    if os.environ.get("DMT_BENCH_PROBE", "1") == "0":
+        return True
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not tpu_reachable():
+        print("bench.py: TPU unreachable (axon tunnel down; probe timed out "
+              "or backend init failed) — no measurement taken", file=sys.stderr)
+        sys.exit(3)
     rates = tpu_images_per_sec()
     base = baseline_images_per_sec()
     print(json.dumps({
