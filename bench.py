@@ -171,11 +171,20 @@ def tpu_reachable(timeout_s: int = 900) -> bool:
     if os.environ.get("DMT_BENCH_PROBE", "1") == "0":
         return True
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        return proc.wait(timeout=timeout_s) == 0
     except subprocess.TimeoutExpired:
+        # SIGTERM, never SIGKILL: a kill -9'd TPU process leaves a dead
+        # chip claim that wedges the tunnel for many minutes (CLAUDE.md);
+        # subprocess.run's TimeoutExpired path would SIGKILL
+        proc.terminate()
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            pass  # leave it to exit on its own rather than kill -9
         return False
 
 

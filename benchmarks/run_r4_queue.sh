@@ -12,8 +12,16 @@
 # the chip is free for the driver's end-of-round bench.
 cd /root/repo
 Q=/tmp/tpu_queue.log
+# Defaults: the original round-4 window (18:20/19:00 UTC) — but a RELAUNCH
+# after that time would see an already-past cutoff and exit 0 before running
+# any step, so fall back to a launch-relative window instead (review r4).
 CUTOFF_START=${CUTOFF_START:-$(date -u -d "today 18:20" +%s)}
 CUTOFF_HARD=${CUTOFF_HARD:-$(date -u -d "today 19:00" +%s)}
+NOW=$(date +%s)
+if [ "$CUTOFF_START" -le "$NOW" ]; then
+  CUTOFF_START=$((NOW + 8 * 3600))
+  CUTOFF_HARD=$((CUTOFF_START + 40 * 60))
+fi
 
 probe () {
   timeout 600 python -c "

@@ -89,14 +89,22 @@ def main(argv=None) -> None:
         make_training_objective(cfg, epochs=extra["bo_epochs"]))
     search = BetaSearch(objective=objective,
                         log_path=f"{cfg.save_path}/bo_history.json").seed()
-    if extra["bo_parallel"] > 1:
-        from ..bo.driver import make_group_objectives
-        groups = [_instrument(g) for g in make_group_objectives(
-            cfg, extra["bo_parallel"], epochs=extra["bo_epochs"])]
-        result = search.run_parallel(extra["bo_iterations"], groups)
-    else:
-        result = search.run(extra["bo_iterations"])
-    print(f"best: beta={result['best_beta']:.1f} FID={result['best_fid']:.2f}")
+    result, search_error = None, None
+    try:
+        if extra["bo_parallel"] > 1:
+            from ..bo.driver import make_group_objectives
+            groups = [_instrument(g) for g in make_group_objectives(
+                cfg, extra["bo_parallel"], epochs=extra["bo_epochs"])]
+            result = search.run_parallel(extra["bo_iterations"], groups)
+        else:
+            result = search.run(extra["bo_iterations"])
+        print(f"best: beta={result['best_beta']:.1f} "
+              f"FID={result['best_fid']:.2f}")
+    except (Exception, KeyboardInterrupt) as e:
+        # the report below still records every completed train→FID cycle —
+        # hours of evaluations must not be discarded because one group's
+        # evaluation died in the last round (review r4)
+        search_error = e
     if extra["bo_report"]:
         import jax
         report = {
@@ -107,15 +115,25 @@ def main(argv=None) -> None:
             "rounds": extra["bo_iterations"],
             "seed_observations": [list(o) for o in REFERENCE_OBSERVATIONS],
             "cycles": cycles,
-            "best_beta": result["best_beta"],
-            "best_fid": result["best_fid"],
             "total_wall_s": round(time.time() - t_start, 2),
             "devices": [str(d) for d in jax.devices()],
             "synthetic_data": bool(cfg.synthetic_data),
         }
+        if result is not None:
+            report["best_beta"] = result["best_beta"]
+            report["best_fid"] = result["best_fid"]
+        else:
+            report["partial"] = True
+            report["error"] = repr(search_error)
+            if cycles:  # best over the cycles that did complete
+                best = min(cycles, key=lambda c: c["fid"])
+                report["best_beta"] = best["beta"]
+                report["best_fid"] = best["fid"]
         with open(extra["bo_report"], "w") as f:
             json.dump(report, f, indent=2)
         print(f"report → {extra['bo_report']}")
+    if search_error is not None:
+        raise search_error
 
 
 def _maybe_plot(grid, mean, std, json_path: str) -> None:

@@ -80,7 +80,11 @@ def _download(url: str, dest: str, sha256_prefix: str = "",
     import urllib.request
 
     os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest) or ".")
+    # keep the destination's suffix on the temp file: _read_idx dispatches
+    # gzip.open on a ".gz" suffix, so a suffixless temp would fail idx
+    # verification on every (valid) gzipped MNIST download (review r4)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest) or ".",
+                               suffix=os.path.splitext(dest)[1])
     os.close(fd)
     try:
         print(f"[fetch] {url}")
@@ -98,6 +102,20 @@ def _download(url: str, dest: str, sha256_prefix: str = "",
             os.unlink(tmp)
     print(f"[fetch] ok → {dest}")
     return dest
+
+
+def _mnist_missing(root: str):
+    """The subset of MNIST_FILES whose stem-pair is not already present
+    under ``root`` (any layout/suffix find_mnist_files accepts). A
+    partially-installed set — e.g. a network failure after the train pair
+    landed — must be repaired on rerun, not reported complete (review r4)."""
+    from ..data.pipeline import find_mnist_files
+
+    present = {stem: find_mnist_files(root, train=(stem == "train"))
+               for stem in ("train", "t10k")}
+    return [m for m in MNIST_FILES
+            if present["train" if m["file"].startswith("train")
+                       else "t10k"] is None]
 
 
 def main(argv=None) -> None:
@@ -126,14 +144,14 @@ def main(argv=None) -> None:
                      FID_WEIGHTS["sha256_prefix"], None))
     if ns.mnist:
         mdest = ns.mnist_dest or os.path.join(ns.dest, "mnist")
-        from ..data.pipeline import find_mnist_files
-        if find_mnist_files(mdest):
+        missing = _mnist_missing(mdest)
+        if not missing:
             print(f"MNIST idx files already present under {mdest}")
         else:
             plan.extend(
                 (m["url"], os.path.join(mdest, m["file"]), "",
                  (lambda p, shape=m["shape"]: _verify_idx(p, shape)))
-                for m in MNIST_FILES)
+                for m in missing)
 
     if not plan:
         print("nothing to fetch")

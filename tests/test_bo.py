@@ -81,3 +81,41 @@ def test_beta_search_never_repeats(tmp_path):
                         log_path=str(tmp_path / "bo.json")).seed()
     search.run(n_iterations=4)
     assert len(set(search.betas)) == len(search.betas)
+
+
+def test_bo_report_written_when_search_dies_midway(tmp_path, monkeypatch):
+    """Regression (review r4): a failed evaluation late in the search must
+    not discard the report — completed train→FID cycles are hours of chip
+    time. The CLI writes a partial report (cycles + best-so-far + error)
+    and re-raises."""
+    import json
+
+    import pytest
+
+    from disentangle_mlp_tpu.cli import bo as cli_bo
+
+    def fake_make_objective(cfg, epochs):
+        def objective(beta):
+            if objective.n >= 2:
+                raise RuntimeError("chip died")
+            objective.n += 1
+            return 100.0 + float(beta)
+        objective.n = 0
+        return objective
+
+    monkeypatch.setattr(cli_bo, "make_training_objective",
+                        fake_make_objective)
+    report_path = tmp_path / "BO_RUN.json"
+    with pytest.raises(RuntimeError, match="chip died"):
+        cli_bo.main([
+            "--name", "bo_partial", "--posterior_only", "False",
+            "--bo_iterations", "5", "--bo_report", str(report_path),
+            "--save_path", str(tmp_path / "%"),
+            "--log_path", str(tmp_path / "%/log"),
+        ])
+    rep = json.loads(report_path.read_text())
+    assert rep["partial"] is True
+    assert "chip died" in rep["error"]
+    assert len(rep["cycles"]) == 2  # the evaluations that DID complete
+    assert rep["best_fid"] == min(c["fid"] for c in rep["cycles"])
+    assert rep["best_beta"] in [c["beta"] for c in rep["cycles"]]

@@ -63,6 +63,57 @@ def test_already_present_fetches_nothing(tmp_path, capsys, monkeypatch):
     assert "already present" in out and "nothing to fetch" in out
 
 
+def _write_gz_labels(path, n):
+    import gzip
+    import struct
+
+    import numpy as np
+
+    with gzip.open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 1))
+        f.write(struct.pack(">I", n))
+        f.write(np.zeros(n, np.uint8).tobytes())
+
+
+def test_download_keeps_gz_suffix_through_verification(tmp_path, monkeypatch):
+    """Regression (review r4): the temp file _verify_idx runs on must keep
+    the destination's .gz suffix — _read_idx dispatches gzip.open on the
+    suffix, so a suffixless temp rejected every valid gzipped download."""
+    def fake_retrieve(url, tmp):
+        _write_gz_labels(tmp, 10000)
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    dest = str(tmp_path / "t10k-labels-idx1-ubyte.gz")
+    fa._download("http://example.invalid/t10k-labels-idx1-ubyte.gz", dest,
+                 verify=lambda p: fa._verify_idx(p, (10000,)))
+    assert os.path.exists(dest)
+
+
+def test_partial_mnist_install_replans_only_missing(tmp_path, capsys,
+                                                    monkeypatch):
+    """Regression (review r4): with only the train pair installed, a rerun
+    must plan the t10k pair instead of reporting the set complete."""
+    from disentangle_mlp_tpu.eval import inception
+
+    monkeypatch.setattr(inception, "find_fid_weights", lambda: "present")
+    mdest = tmp_path / "mnist"
+    mdest.mkdir()
+    (mdest / "train-images-idx3-ubyte.gz").write_bytes(b"x")
+    (mdest / "train-labels-idx1-ubyte.gz").write_bytes(b"x")
+    with pytest.raises(SystemExit):  # offline mode prints the plan
+        fa.main(["--dest", str(tmp_path), "--mnist",
+                 "--mnist_dest", str(mdest)])
+    out = capsys.readouterr().out
+    assert "t10k-images-idx3-ubyte.gz" in out
+    assert "t10k-labels-idx1-ubyte.gz" in out
+    assert "train-images-idx3-ubyte.gz" not in out
+
+    missing = fa._mnist_missing(str(mdest))
+    assert [m["file"] for m in missing] == [
+        "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz"]
+
+
 def test_verify_idx_structural_check(tmp_path):
     """MNIST downloads are format-verified: the canonical shape passes, a
     truncated/wrong file refuses to install."""
