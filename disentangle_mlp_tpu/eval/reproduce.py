@@ -70,6 +70,19 @@ def _curve_shape(cfg: Config) -> Dict:
     fids = [r["FID"] for r in records
             if isinstance(r.get("FID"), (int, float))]
     out: Dict = {"fid_curve": fids}
+    # Avg Eec Loss is the width-robust health signal (ROUND4.md): the
+    # reference's healthy CelebA run declines steadily (1138 → 776, 0.68×
+    # over 11 epochs, log_beta_vaegan_25.json) while the collapsed
+    # white-basis synthetic runs sit flat at the predict-mean floor
+    # (5064 → 4791, 0.95×). Unlike FID — meaningless under the
+    # random-weight Inception fallback at proxy widths — Eec needs no
+    # pretrained assets, so it gates quality at any width.
+    eecs = [r["Avg Eec Loss"] for r in records
+            if isinstance(r.get("Avg Eec Loss"), (int, float))]
+    if len(eecs) >= 2:
+        out["eec_curve"] = eecs
+        out["eec_ratio"] = eecs[-1] / eecs[0]
+        out["eec_ok"] = bool(eecs[-1] < 0.85 * eecs[0])
     if len(fids) >= 2:
         out["curve_ratio"] = fids[-1] / fids[0]
         out["curve_ok"] = bool(fids[-1] < 0.7 * fids[0])

@@ -114,3 +114,45 @@ def test_assets_check_detects_present_assets(tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out)
     assert all(v["ready"] and v["n_images"] == 1
                for v in out["celeba_images"].values())
+
+def test_curve_shape_gates_fid_and_eec(tmp_path):
+    """_curve_shape reads the newest per-epoch log and emits both the FID
+    curve gate and the width-robust Eec-loss gate (ROUND4.md: the healthy
+    signature is a steady Eec decline; flat-at-floor Eec = posterior
+    collapse regardless of what the proxy FID does)."""
+    from disentangle_mlp_tpu.eval.reproduce import _curve_shape
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    # reference-shaped run: FID 223→128 (0.57×), Eec 1138→776 (0.68×)
+    records = [
+        {"Epoch": 0, "Avg Eec Loss": 1138.0, "Avg Dnc Loss": 1138.0,
+         "Avg Dis Loss": 0.003, "FID": 223.4},
+        {"Epoch": 1, "Avg Eec Loss": 950.0, "Avg Dnc Loss": 950.0,
+         "Avg Dis Loss": 0.003, "FID": 180.0},
+        {"Epoch": 2, "Avg Eec Loss": 776.0, "Avg Dnc Loss": 776.0,
+         "Avg Dis Loss": 0.003, "FID": 128.3},
+    ]
+    (log_dir / "log_08_18_2026_00_00_00.json").write_text(
+        json.dumps({"output": records}))
+
+    class _Cfg:
+        log_path = str(log_dir)
+
+    out = _curve_shape(_Cfg())
+    assert out["fid_curve"] == [223.4, 180.0, 128.3]
+    assert out["curve_ok"] is True
+    assert out["eec_curve"] == [1138.0, 950.0, 776.0]
+    assert abs(out["eec_ratio"] - 776.0 / 1138.0) < 1e-9
+    assert out["eec_ok"] is True
+
+    # collapsed run: Eec flat at the predict-mean floor → eec_ok False
+    flat = [dict(r, **{"Avg Eec Loss": v, "FID": f}) for r, v, f in
+            zip(records, [5064.0, 4800.0, 4791.0], [252.0, 102.0, 275.5])]
+    (log_dir / "log_08_18_2026_00_00_01.json").write_text(
+        json.dumps({"output": flat}))
+    import os
+    os.utime(log_dir / "log_08_18_2026_00_00_01.json", None)
+    out = _curve_shape(_Cfg())
+    assert out["eec_ok"] is False
+    assert out["curve_ok"] is False
