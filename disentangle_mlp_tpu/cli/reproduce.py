@@ -67,14 +67,24 @@ def main(argv=None) -> None:
     parser.add_argument("--report_out", type=str, default="REPRODUCTION.json")
     parser.add_argument("--assets_check", action="store_true",
                         help="print the asset ready/missing report and exit")
+    parser.add_argument("--rescore_log", type=str, default="",
+                        help="re-gate an existing run: recompute the FID/Eec"
+                             " curve gates from this log dir, merge them into"
+                             " --report_out (created if missing), and exit")
     parser.set_defaults(beta=25.0, epochs=10)
     ns = parser.parse_args(argv)
     extra = {k: vars(ns).pop(k) for k in
              ["stats_out", "stats_images", "calib_images", "skip_train",
-              "report_out", "assets_check"]}
+              "report_out", "assets_check", "rescore_log"]}
     if extra["assets_check"]:
         cfg = Config(**vars(ns)).finalize(make_dirs=False)
         print(json.dumps(assets_report(cfg), indent=2))
+        return
+    if extra["rescore_log"]:
+        from ..eval.reproduce import rescore
+        print(json.dumps(
+            rescore(extra["rescore_log"], extra["report_out"]),
+            indent=2, default=float))
         return
     cfg = Config(**vars(ns)).finalize()
 

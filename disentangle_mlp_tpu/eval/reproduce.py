@@ -51,7 +51,7 @@ def calibration_fid(loader, stats_path: str, max_images: int) -> float:
     return frechet_distance(mu1, s1, mu2, s2)
 
 
-def _curve_shape(cfg: Config) -> Dict:
+def _curve_shape(log_path: str) -> Dict:
     """FID curve-shape check over the run's per-epoch log (VERDICT r2 #5,
     asserted here — at full size, where FID is meaningful — rather than in
     the toy-width unit suite, where the random-weight Inception does not
@@ -62,7 +62,7 @@ def _curve_shape(cfg: Config) -> Dict:
 
     # newest by mtime — the filename stamp is month-first
     # (%m_%d_%Y_...), so a lexical sort is NOT chronological across years
-    logs = sorted(pathlib.Path(cfg.log_path).glob("log_*.json"),
+    logs = sorted(pathlib.Path(log_path).glob("log_*.json"),
                   key=lambda p: p.stat().st_mtime)
     if not logs:
         return {}
@@ -96,6 +96,26 @@ def _curve_shape(cfg: Config) -> Dict:
         out["fid_min_epoch"] = best
         out["curve_min_ok"] = bool(fids[best] < 0.7 * fids[0])
     return out
+
+
+def rescore(log_dir: str, report_path: str = "") -> Dict:
+    """Post-hoc re-gate: recompute the FID/Eec curve-shape fields from an
+    existing run's per-epoch JSON log and (when ``report_path`` names an
+    existing report) merge them into it. Lets historical runs be re-gated
+    after a gate change without retraining — first use: banking
+    REPRODUCTION_QUARTER_LF_r4.json, whose training run predated the Eec
+    gate. Pure host-side JSON work; no devices touched."""
+    import os
+
+    report: Dict = {}
+    if report_path and os.path.exists(report_path):
+        with open(report_path) as f:
+            report = json.load(f)
+    report.update(_curve_shape(log_dir))
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2, default=float)
+    return report
 
 
 def run_reproduction(cfg: Config, stats_out: str,
@@ -157,7 +177,7 @@ def run_reproduction(cfg: Config, stats_out: str,
         last = run_vaegan(run_cfg)
         report["final_fid"] = last.get("FID", "N/A")
         report["images_per_sec"] = last.get("images_per_sec")
-        report.update(_curve_shape(run_cfg))
+        report.update(_curve_shape(run_cfg.log_path))
         if isinstance(report["final_fid"], (int, float)):
             report["within_tolerance"] = bool(
                 abs(report["final_fid"] - FID_TARGET) <= FID_TOLERANCE

@@ -136,10 +136,7 @@ def test_curve_shape_gates_fid_and_eec(tmp_path):
     (log_dir / "log_08_18_2026_00_00_00.json").write_text(
         json.dumps({"output": records}))
 
-    class _Cfg:
-        log_path = str(log_dir)
-
-    out = _curve_shape(_Cfg())
+    out = _curve_shape(str(log_dir))
     assert out["fid_curve"] == [223.4, 180.0, 128.3]
     assert out["curve_ok"] is True
     assert out["eec_curve"] == [1138.0, 950.0, 776.0]
@@ -153,6 +150,43 @@ def test_curve_shape_gates_fid_and_eec(tmp_path):
         json.dumps({"output": flat}))
     import os
     os.utime(log_dir / "log_08_18_2026_00_00_01.json", None)
-    out = _curve_shape(_Cfg())
+    out = _curve_shape(str(log_dir))
     assert out["eec_ok"] is False
     assert out["curve_ok"] is False
+
+
+def test_rescore_merges_gates_into_existing_report(tmp_path, capsys):
+    """`dmt-reproduce --rescore_log DIR --report_out F` re-gates a finished
+    run: curve fields are recomputed from the log and merged into the
+    existing report in place, without touching training or devices."""
+    from disentangle_mlp_tpu.cli.reproduce import main
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    records = [
+        {"Epoch": 0, "Avg Eec Loss": 4951.0, "FID": 40.7},
+        {"Epoch": 1, "Avg Eec Loss": 868.5, "FID": 2.7},
+    ]
+    (log_dir / "log_08_18_2026_00_00_00.json").write_text(
+        json.dumps({"output": records}))
+    report = tmp_path / "REPRO.json"
+    report.write_text(json.dumps({"target_fid": 128.34, "stats_images": 2048}))
+
+    main(["--name", "rescore1", "--rescore_log", str(log_dir),
+          "--report_out", str(report),
+          "--save_path", str(tmp_path / "%"),
+          "--log_path", str(tmp_path / "%/log")])
+    printed = json.loads(capsys.readouterr().out)
+    merged = json.loads(report.read_text())
+    for out in (printed, merged):
+        assert out["target_fid"] == 128.34          # pre-existing keys kept
+        assert out["eec_ok"] is True and out["curve_ok"] is True
+        assert out["eec_curve"] == [4951.0, 868.5]
+    # without --report_out pointing at an existing file, nothing is created
+    missing = tmp_path / "nonexistent.json"
+    main(["--name", "rescore2", "--rescore_log", str(log_dir),
+          "--report_out", str(missing),
+          "--save_path", str(tmp_path / "%"),
+          "--log_path", str(tmp_path / "%/log")])
+    assert json.loads(capsys.readouterr().out)["eec_ok"] is True
+    assert missing.exists()  # fresh report written with just the gates
