@@ -1,0 +1,52 @@
+"""Generate a CelebA-shaped JPEG tree for the decode-warmup A/B.
+
+The decode A/B (benchmarks/decode_warm_ab.py) needs a real folder of
+JPEGs large enough that epoch-1 decode is the bottleneck. CelebA images
+are 178x218 JPEGs (reference dataloader/dataset.py resizes them to 64);
+we synthesize smooth low-frequency textures so libjpeg does realistic
+work (white noise compresses pathologically and decodes unrealistically
+fast).
+
+    python -m benchmarks.gen_jpeg_tree --out /tmp/ab_imgs/train --n 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+from PIL import Image
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/ab_imgs/train")
+    ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--width", type=int, default=178)
+    ap.add_argument("--height", type=int, default=218)
+    ns = ap.parse_args(argv)
+
+    os.makedirs(ns.out, exist_ok=True)
+    existing = sum(f.endswith(".jpg") for f in os.listdir(ns.out))
+    if existing >= ns.n:
+        print(f"already {existing} images at {ns.out}; nothing to do")
+        return
+
+    rng = np.random.default_rng(0)
+    # Low-res noise upsampled = smooth image-like content, cheap to make.
+    t0 = time.time()
+    for i in range(existing, ns.n):
+        small = rng.integers(0, 256, size=(ns.height // 8, ns.width // 8, 3),
+                             dtype=np.uint8)
+        img = Image.fromarray(small).resize((ns.width, ns.height),
+                                            Image.BILINEAR)
+        img.save(os.path.join(ns.out, f"{i:06d}.jpg"), quality=90)
+        if (i + 1) % 2000 == 0:
+            print(f"{i + 1}/{ns.n} ({time.time() - t0:.0f}s)", flush=True)
+    print(f"done: {ns.n} JPEGs at {ns.out} in {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
