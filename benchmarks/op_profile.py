@@ -13,7 +13,7 @@ Two layers of output:
    (encoder/decoder/discriminator fwd+bwd) FLOPs and achieved TF/s from
    the scan-timed harness of benchmarks/step_profile.py.
 
-Run on the chip:  python -m benchmarks.op_profile --trace
+Run on the chip:  python -m benchmarks.op_profile --trace [--model vae|gan]
 """
 
 from __future__ import annotations
@@ -73,66 +73,90 @@ def _parse_xspace_top_ops(trace_dir: str, top: int = 25):
     return ops[:top], paths[-1]
 
 
-def capture_trace(out_dir: str, steps: int = 3):
-    """Run the full-size step under jax.profiler.trace."""
+def make_profile_harness(model: str, cfg=None):
+    """(states, step_fn, batch_maker, sync_key, n_states) for any of the
+    three trainable experiments, full production width unless ``cfg`` is
+    given (tests pass toy widths). ``batch_maker(rng, leading_shape)``
+    builds the step's data input — images for all three (the GAN step
+    draws its own z internally, matching new_gan.py)."""
     import jax
     import jax.numpy as jnp
 
     from disentangle_mlp_tpu.config import Config
-    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 
     B = 256
-    cfg = Config(name="opprof", beta=25.0, batch_size_train=B,
-                 dtype="bfloat16", lr=3e-4)
-    exp = create_vaegan_experiment(cfg, jax.random.key(0))
-    x = jax.random.uniform(jax.random.key(1), (B, 64, 64, 3),
-                           jnp.float32, -1.0, 1.0)
-    eg, d = exp.eg_state, exp.d_state
+    if cfg is None:
+        cfg = Config(name="opprof", beta=25.0, batch_size_train=B,
+                     dtype="bfloat16", lr=3e-4)
+    B = cfg.batch_size_train
+
+    def images(rng, lead=()):
+        return jax.random.uniform(
+            rng, (*lead, B, cfg.img_size, cfg.img_size, cfg.input_channels),
+            jnp.float32, -1.0, 1.0)
+
+    if model == "betavaegan":
+        from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
+        exp = create_vaegan_experiment(cfg, jax.random.key(0))
+        return [exp.eg_state, exp.d_state], exp.step_fn, images, "recon_enc"
+    if model == "vae":
+        from disentangle_mlp_tpu.train.vae import create_vae_experiment
+        exp = create_vae_experiment(cfg, jax.random.key(0))
+        return [exp.state], exp.step_fn, images, "loss"
+    if model == "gan":
+        from disentangle_mlp_tpu.train.gan import create_gan_experiment
+        exp = create_gan_experiment(cfg, jax.random.key(0))
+        return [exp.g_state, exp.d_state], exp.step_fn, images, "errD"
+    raise ValueError(f"unknown model {model!r}")
+
+
+def capture_trace(out_dir: str, model: str = "betavaegan", steps: int = 3):
+    """Run the full-size step under jax.profiler.trace."""
+    import jax
+
+    states, step_fn, images, sync_key = make_profile_harness(model)
+    jit_step = jax.jit(step_fn, donate_argnums=tuple(range(len(states))))
+    x = images(jax.random.key(1))
     # warm (compile outside the trace)
-    eg, d, m = exp.train_step(eg, d, x, jax.random.key(2))
-    float(m["recon_enc"])
+    *states, m = jit_step(*states, x, jax.random.key(2))
+    float(m[sync_key])
 
     with jax.profiler.trace(out_dir):
         for i in range(steps):
-            eg, d, m = exp.train_step(eg, d, x, jax.random.key(3 + i))
-        float(m["recon_enc"])  # the reliable axon sync
-    return B, steps
+            *states, m = jit_step(*states, x, jax.random.key(3 + i))
+        float(m[sync_key])  # the reliable axon sync
+    return x.shape[0], steps
 
 
-def flop_attribution():
-    """cost_analysis() FLOPs of the full step and its phases; achieved
-    TF/s from wall time (scan-timed, K steps per dispatch)."""
+def flop_attribution(model: str = "betavaegan"):
+    """cost_analysis() FLOPs of the full step; achieved TF/s from wall
+    time (scan-timed, K steps per dispatch)."""
     import jax
-    import jax.numpy as jnp
 
-    from disentangle_mlp_tpu.config import Config
     from disentangle_mlp_tpu.train.scan import make_multi_step
-    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 
-    B, K = 256, 20
-    cfg = Config(name="opprof", beta=25.0, batch_size_train=B,
-                 dtype="bfloat16", lr=3e-4)
-    exp = create_vaegan_experiment(cfg, jax.random.key(0))
-    xs = jax.random.uniform(jax.random.key(1), (K, B, 64, 64, 3),
-                            jnp.float32, -1.0, 1.0)
+    K = 20
+    states, step_fn, images, sync_key = make_profile_harness(model)
+    xs = images(jax.random.key(1), lead=(K,))
+    B = xs.shape[1]
 
-    jit_step = jax.jit(exp.step_fn)
-    cost = jit_step.lower(exp.eg_state, exp.d_state, xs[0],
+    jit_step = jax.jit(step_fn)
+    cost = jit_step.lower(*states, xs[0],
                           jax.random.key(2)).compile().cost_analysis()
     if isinstance(cost, list):  # older jax returns [dict]
         cost = cost[0]
     flops = float(cost.get("flops", float("nan")))
 
-    multi = make_multi_step(exp.step_fn, n_states=2, donate=True)
-    eg, d, m = multi(exp.eg_state, exp.d_state, xs, jax.random.key(0))
-    float(m["recon_enc"][-1])
+    multi = make_multi_step(step_fn, n_states=len(states), donate=True)
+    *states, m = multi(*states, xs, jax.random.key(0))
+    float(m[sync_key][-1])
     best = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
-        eg, d, m = multi(eg, d, xs, jax.random.key(w + 1))
-        float(m["recon_enc"][-1])
+        *states, m = multi(*states, xs, jax.random.key(w + 1))
+        float(m[sync_key][-1])
         best = min(best, (time.perf_counter() - t0) / K)
-    return {"step_flops": flops, "step_seconds": best,
+    return {"model": model, "step_flops": flops, "step_seconds": best,
             "achieved_tflops": flops / best / 1e12,
             "images_per_sec": B / best}
 
@@ -142,6 +166,8 @@ def main(argv=None):
     enable_compilation_cache()
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="betavaegan",
+                    choices=["betavaegan", "vae", "gan"])
     ap.add_argument("--trace", action="store_true",
                     help="capture + parse a device trace (top ops)")
     ap.add_argument("--trace_dir", default="/tmp/dmt_opprof")
@@ -149,15 +175,15 @@ def main(argv=None):
     ap.add_argument("--json_out", default="")
     ns = ap.parse_args(argv)
 
-    report = {"flop_attribution": flop_attribution()}
+    report = {"flop_attribution": flop_attribution(ns.model)}
     fa = report["flop_attribution"]
-    print(f"step: {fa['step_flops'] / 1e9:.1f} GFLOP, "
+    print(f"{ns.model} step: {fa['step_flops'] / 1e9:.1f} GFLOP, "
           f"{fa['step_seconds'] * 1e3:.2f} ms, "
           f"{fa['achieved_tflops']:.1f} TF/s, "
           f"{fa['images_per_sec']:.0f} img/s")
 
     if ns.trace:
-        B, steps = capture_trace(ns.trace_dir, steps=3)
+        B, steps = capture_trace(ns.trace_dir, model=ns.model, steps=3)
         ops, path = _parse_xspace_top_ops(ns.trace_dir, top=ns.top)
         total_us = sum(t for _, t, _ in ops)
         print(f"\ntop {ns.top} ops by device time over {steps} steps "

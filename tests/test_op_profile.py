@@ -47,6 +47,31 @@ def test_parse_prefers_device_plane_and_aggregates(tmp_path):
     assert names[0] == "convolution.7"  # sorted by total time
 
 
+def test_profile_harness_covers_all_experiments():
+    """make_profile_harness builds a runnable (states, step, data, sync)
+    bundle for each trainable experiment (the chip capture drives these
+    full-width; here the toy-width graph proves the plumbing)."""
+    import jax
+    import numpy as np
+
+    from benchmarks.op_profile import make_profile_harness
+    from disentangle_mlp_tpu.config import Config
+
+    cfg = Config(name="t", n_hidden=16, batch_size_train=4,
+                 dtype="float32", lr=1e-3, img_size=32,
+                 n_z=[8, 4, 4], representation_size=4, head_width=32,
+                 decoder_channels=[8, 8, 8], disc_channels=[4, 8, 8, 8],
+                 disc_feature_dim=32)
+    for model, n_states in (("betavaegan", 2), ("vae", 1), ("gan", 2)):
+        states, step_fn, images, sync_key = make_profile_harness(model, cfg)
+        assert len(states) == n_states
+        x = images(jax.random.key(1))
+        assert x.shape == (4, 32, 32, 3)
+        *new_states, m = jax.jit(step_fn)(*states, x, jax.random.key(2))
+        assert len(new_states) == n_states
+        assert np.isfinite(float(m[sync_key])), (model, sync_key)
+
+
 def test_parse_falls_back_to_host_cpu_plane(tmp_path):
     from benchmarks.op_profile import _parse_xspace_top_ops
 
