@@ -7,6 +7,9 @@ we synthesize smooth low-frequency textures so libjpeg does realistic
 work (white noise compresses pathologically and decodes unrealistically
 fast).
 
+ImageFolderSource mirrors torchvision's ImageFolder (one subdirectory per
+class), so the images land under ``<out>/c0/``.
+
     python -m benchmarks.gen_jpeg_tree --out /tmp/ab_imgs/train --n 20000
 """
 
@@ -28,10 +31,11 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=218)
     ns = ap.parse_args(argv)
 
-    os.makedirs(ns.out, exist_ok=True)
-    existing = sum(f.endswith(".jpg") for f in os.listdir(ns.out))
+    out = os.path.join(ns.out, "c0")  # ImageFolder-style class subdir
+    os.makedirs(out, exist_ok=True)
+    existing = sum(f.endswith(".jpg") for f in os.listdir(out))
     if existing >= ns.n:
-        print(f"already {existing} images at {ns.out}; nothing to do")
+        print(f"already {existing} images at {out}; nothing to do")
         return
 
     rng = np.random.default_rng(0)
@@ -42,10 +46,10 @@ def main(argv=None):
                              dtype=np.uint8)
         img = Image.fromarray(small).resize((ns.width, ns.height),
                                             Image.BILINEAR)
-        img.save(os.path.join(ns.out, f"{i:06d}.jpg"), quality=90)
+        img.save(os.path.join(out, f"{i:06d}.jpg"), quality=90)
         if (i + 1) % 2000 == 0:
             print(f"{i + 1}/{ns.n} ({time.time() - t0:.0f}s)", flush=True)
-    print(f"done: {ns.n} JPEGs at {ns.out} in {time.time() - t0:.0f}s")
+    print(f"done: {ns.n} JPEGs at {out} in {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":
