@@ -33,23 +33,30 @@ def main(argv=None):
 
     out = os.path.join(ns.out, "c0")  # ImageFolder-style class subdir
     os.makedirs(out, exist_ok=True)
-    existing = sum(f.endswith(".jpg") for f in os.listdir(out))
-    if existing >= ns.n:
-        print(f"already {existing} images at {out}; nothing to do")
+    # Resume by filling exactly the missing indices (an interrupted run can
+    # leave holes mid-range); each image is seeded by its own index so the
+    # content at index i is identical regardless of resume history and no
+    # two indices ever share a texture.
+    present = {f for f in os.listdir(out) if f.endswith(".jpg")}
+    missing = [i for i in range(ns.n) if f"{i:06d}.jpg" not in present]
+    if not missing:
+        print(f"already {ns.n} images at {out}; nothing to do")
         return
 
-    rng = np.random.default_rng(0)
     # Low-res noise upsampled = smooth image-like content, cheap to make.
     t0 = time.time()
-    for i in range(existing, ns.n):
+    for k, i in enumerate(missing):
+        rng = np.random.default_rng(i)
         small = rng.integers(0, 256, size=(ns.height // 8, ns.width // 8, 3),
                              dtype=np.uint8)
         img = Image.fromarray(small).resize((ns.width, ns.height),
                                             Image.BILINEAR)
         img.save(os.path.join(out, f"{i:06d}.jpg"), quality=90)
-        if (i + 1) % 2000 == 0:
-            print(f"{i + 1}/{ns.n} ({time.time() - t0:.0f}s)", flush=True)
-    print(f"done: {ns.n} JPEGs at {out} in {time.time() - t0:.0f}s")
+        if (k + 1) % 2000 == 0:
+            print(f"{k + 1}/{len(missing)} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    print(f"done: {len(missing)} new JPEGs at {out} "
+          f"({ns.n} total) in {time.time() - t0:.0f}s")
 
 
 if __name__ == "__main__":

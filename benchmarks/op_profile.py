@@ -74,11 +74,12 @@ def _parse_xspace_top_ops(trace_dir: str, top: int = 25):
 
 
 def make_profile_harness(model: str, cfg=None):
-    """(states, step_fn, batch_maker, sync_key, n_states) for any of the
-    three trainable experiments, full production width unless ``cfg`` is
-    given (tests pass toy widths). ``batch_maker(rng, leading_shape)``
-    builds the step's data input — images for all three (the GAN step
-    draws its own z internally, matching new_gan.py)."""
+    """(states, step_fn, batch_maker, sync_key) for any of the three
+    trainable experiments, full production width unless ``cfg`` is given
+    (tests pass toy widths). ``batch_maker(rng, leading_shape)`` builds
+    the step's data input — images for all three (the GAN step draws its
+    own z internally, matching new_gan.py); ``sync_key`` names the metric
+    fetched as the dispatch barrier."""
     import jax
     import jax.numpy as jnp
 

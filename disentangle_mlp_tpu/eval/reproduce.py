@@ -69,7 +69,7 @@ def _curve_shape(log_path: str) -> Dict:
     records = json.loads(logs[-1].read_text()).get("output", [])
     fids = [r["FID"] for r in records
             if isinstance(r.get("FID"), (int, float))]
-    out: Dict = {"fid_curve": fids}
+    out: Dict = {"fid_curve": fids} if fids else {}
     # Avg Eec Loss is the width-robust health signal (ROUND4.md): the
     # reference's healthy CelebA run declines steadily (1138 → 776, 0.68×
     # over 11 epochs, log_beta_vaegan_25.json) while the collapsed
@@ -106,12 +106,31 @@ def rescore(log_dir: str, report_path: str = "") -> Dict:
     REPRODUCTION_QUARTER_LF_r4.json, whose training run predated the Eec
     gate. Pure host-side JSON work; no devices touched."""
     import os
+    import pathlib
+
+    if not list(pathlib.Path(log_dir).glob("log_*.json")):
+        raise FileNotFoundError(
+            f"no log_*.json under {log_dir!r} — nothing to re-gate "
+            "(check the --rescore_log path)")
+    shape = _curve_shape(log_dir)
+    if "curve_ok" not in shape and "eec_ok" not in shape:
+        raise ValueError(
+            f"log under {log_dir!r} has fewer than 2 FID and 2 Eec entries"
+            " — no gate can be recomputed from it")
 
     report: Dict = {}
     if report_path and os.path.exists(report_path):
         with open(report_path) as f:
             report = json.load(f)
-    report.update(_curve_shape(log_dir))
+    # Drop every gate field the old report carried before merging, so a
+    # rescore can never leave a stale curve_ok next to a fresh curve (e.g.
+    # re-gating against a --calc_fid False run must REMOVE the FID gates,
+    # not keep the previous run's).
+    for k in ("fid_curve", "curve_ratio", "curve_ok", "fid_min",
+              "fid_min_epoch", "curve_min_ok",
+              "eec_curve", "eec_ratio", "eec_ok"):
+        report.pop(k, None)
+    report.update(shape)
     if report_path:
         with open(report_path, "w") as f:
             json.dump(report, f, indent=2, default=float)

@@ -149,7 +149,11 @@ def test_curve_shape_gates_fid_and_eec(tmp_path):
     (log_dir / "log_08_18_2026_00_00_01.json").write_text(
         json.dumps({"output": flat}))
     import os
-    os.utime(log_dir / "log_08_18_2026_00_00_01.json", None)
+    # force a strictly later mtime: "newest wins" must not depend on the
+    # filesystem's timestamp resolution for files written back to back
+    st = (log_dir / "log_08_18_2026_00_00_00.json").stat()
+    os.utime(log_dir / "log_08_18_2026_00_00_01.json",
+             (st.st_atime, st.st_mtime + 10))
     out = _curve_shape(str(log_dir))
     assert out["eec_ok"] is False
     assert out["curve_ok"] is False
@@ -182,7 +186,8 @@ def test_rescore_merges_gates_into_existing_report(tmp_path, capsys):
         assert out["target_fid"] == 128.34          # pre-existing keys kept
         assert out["eec_ok"] is True and out["curve_ok"] is True
         assert out["eec_curve"] == [4951.0, 868.5]
-    # without --report_out pointing at an existing file, nothing is created
+    # --report_out naming a missing file creates a fresh report with just
+    # the recomputed gates (CLI help: "created if missing")
     missing = tmp_path / "nonexistent.json"
     main(["--name", "rescore2", "--rescore_log", str(log_dir),
           "--report_out", str(missing),
@@ -190,3 +195,50 @@ def test_rescore_merges_gates_into_existing_report(tmp_path, capsys):
           "--log_path", str(tmp_path / "%/log")])
     assert json.loads(capsys.readouterr().out)["eec_ok"] is True
     assert missing.exists()  # fresh report written with just the gates
+
+
+def test_rescore_errors_on_missing_or_ungateable_log(tmp_path):
+    """A mistyped --rescore_log path or a log with nothing scorable must
+    fail loudly, not exit 0 with an unchanged report."""
+    import pytest
+
+    from disentangle_mlp_tpu.eval.reproduce import rescore
+
+    with pytest.raises(FileNotFoundError):
+        rescore(str(tmp_path / "no_such_dir"))
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    # one epoch, FID N/A: neither a 2-point FID curve nor a 2-point Eec
+    # curve exists, so no gate can be recomputed
+    (log_dir / "log_08_18_2026_00_00_00.json").write_text(
+        json.dumps({"output": [
+            {"Epoch": 0, "Avg Eec Loss": 100.0, "FID": "N/A"}]}))
+    with pytest.raises(ValueError):
+        rescore(str(log_dir))
+
+
+def test_rescore_drops_stale_gates(tmp_path):
+    """Re-gating against a --calc_fid False run removes the previous FID
+    gate fields instead of leaving a stale curve_ok beside no curve."""
+    from disentangle_mlp_tpu.eval.reproduce import rescore
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    (log_dir / "log_08_18_2026_00_00_00.json").write_text(
+        json.dumps({"output": [
+            {"Epoch": 0, "Avg Eec Loss": 1138.0, "FID": "N/A"},
+            {"Epoch": 1, "Avg Eec Loss": 776.0, "FID": "N/A"}]}))
+    report = tmp_path / "REPRO.json"
+    report.write_text(json.dumps({
+        "target_fid": 128.34, "fid_curve": [223.4, 128.3],
+        "curve_ok": True, "curve_ratio": 0.57, "fid_min": 128.3,
+        "fid_min_epoch": 1, "curve_min_ok": True}))
+
+    merged = rescore(str(log_dir), str(report))
+    assert merged["target_fid"] == 128.34        # non-gate keys kept
+    assert merged["eec_ok"] is True
+    for stale in ("fid_curve", "curve_ok", "curve_ratio", "fid_min",
+                  "fid_min_epoch", "curve_min_ok"):
+        assert stale not in merged, stale
+    assert json.loads(report.read_text()) == merged
