@@ -420,3 +420,116 @@ def test_cache_warmup_noops(tmp_path, monkeypatch):
     monkeypatch.setenv("DMT_DECODE_WARMUP", "0")
     assert pl.DataLoader(on, 2, process_index=0,
                          process_count=1).start_cache_warmup() is None
+
+
+def test_u8_device_feed_matches_host_path(tmp_path, monkeypatch):
+    """The uint8 fast feed (ship u8, normalize on device — round 4: the
+    f32 batch was the tunnel bottleneck at ~1,500 img/s ceiling) must
+    yield the same batches as the legacy host-normalize path to ≤1 ulp
+    (XLA fma contraction), for both the identity (celebA) and the affine
+    (birds) normalization."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    for norm in (((0.5,) * 3, (0.5,) * 3),
+                 ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))):
+        src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
+                                   normalize=norm, cache="on")
+        fast = [(np.asarray(x), np.asarray(y))
+                for x, y in pl.DataLoader(src, 4, shuffle=True, seed=11)]
+        monkeypatch.setenv("DMT_DEVICE_NORMALIZE", "0")
+        slow_dl = pl.DataLoader(src, 4, shuffle=True, seed=11)
+        slow = [(np.asarray(x), np.asarray(y)) for x, y in slow_dl]
+        monkeypatch.delenv("DMT_DEVICE_NORMALIZE")
+        assert len(fast) == len(slow) > 0
+        for (xf, yf), (xs, ys) in zip(fast, slow):
+            assert xf.dtype == np.float32
+            np.testing.assert_allclose(xf, xs, atol=3e-7, rtol=0)
+            np.testing.assert_array_equal(yf, ys)
+
+
+def test_u8_feed_engages_only_for_capable_sources():
+    """Synthetic/MNIST sources have no load_batch_u8 — the loader must
+    fall back to the f32 host path, not crash."""
+    src = SyntheticSource(size=8, img_size=16, seed=3)
+    dl = DataLoader(src, 4, shuffle=False)
+    batches = [(np.asarray(x), np.asarray(y)) for x, y in dl]
+    assert len(batches) == 2
+    assert batches[0][0].dtype == np.float32
+
+
+def test_loader_exception_surfaces_through_both_stages(tmp_path):
+    """A decode error in the first producer stage must propagate through
+    the transfer stage to the consumer."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
+                               cache="off")
+
+    def boom(indices):
+        raise RuntimeError("decode exploded")
+
+    src.load_batch_u8 = boom
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(pl.DataLoader(src, 4, shuffle=False))
+
+
+def test_abandoned_iterator_releases_producer_threads(tmp_path):
+    """Breaking out of an epoch mid-way (e.g. max_images in FID stats)
+    must not leave decode/transfer threads blocked forever."""
+    import threading
+    import time
+
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path)
+    src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
+                               cache="on")
+
+    def producers():
+        return [t for t in threading.enumerate()
+                if t.name in ("dmt-decode", "dmt-transfer")]
+
+    it = iter(pl.DataLoader(src, 2, shuffle=False, prefetch=1))
+    next(it)
+    it.close()  # fires the generator's finally -> stop.set()
+    deadline = time.time() + 10
+    while producers() and time.time() < deadline:
+        time.sleep(0.1)
+    assert not producers()
+
+
+def test_u8_transfer_chunking_preserves_batches(tmp_path):
+    """Grouped u8 transfers (DMT_TRANSFER_CHUNK) must yield exactly the
+    same per-batch streams as chunk=1, across a non-dividing batch count,
+    a partial tail batch (drop_last=False), and simulated per-process
+    slicing."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    root = _png_folder(tmp_path, n_per_class=5)  # 10 images
+    src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
+                               cache="on")
+
+    def epoch(chunk, **kw):
+        dl = pl.DataLoader(src, 4, shuffle=True, seed=5,
+                           transfer_chunk=chunk, **kw)
+        return [(np.asarray(x), np.asarray(y)) for x, y in dl]
+
+    base = epoch(1, drop_last=False)
+    assert len(base) == 3 and base[-1][0].shape[0] == 2  # partial tail
+    for c in (2, 3, 8):
+        got = epoch(c, drop_last=False)
+        assert len(got) == len(base)
+        for (xb, yb), (xg, yg) in zip(base, got):
+            np.testing.assert_array_equal(xg, xb)
+            np.testing.assert_array_equal(yg, yb)
+
+    # simulated pod slicing: each process sees its half of every batch
+    half = epoch(4, process_index=1, process_count=2)
+    full = epoch(1, process_index=1, process_count=2)
+    assert len(half) == len(full) == 2  # drop_last
+    for (xh, yh), (xf, yf) in zip(half, full):
+        assert xh.shape[0] == 2
+        np.testing.assert_array_equal(xh, xf)
+        np.testing.assert_array_equal(yh, yf)
