@@ -18,6 +18,8 @@ interleaved A/Bs are valid on the drifting tunneled chip):
     f32      — DMT_DEVICE_NORMALIZE=0 (the round-3 path)
     u8c1     — uint8 feed, one batch per transfer
     u8c4     — uint8 feed, four batches per transfer (production default)
+    u8c8     — uint8 feed, eight batches per transfer (is the latency
+               amortization still paying past the default?)
 
     python -m benchmarks.feed_ab --image_root /tmp/ab_imgs/train \
         --out FEED_AB_r4.json
@@ -68,10 +70,15 @@ def main(argv=None):
     jit_step = jax.jit(step_fn, donate_argnums=tuple(range(len(states))))
 
     src = ImageFolderSource(ns.image_root, img_size=64, cache="on")
+    if len(src) < ns.batch:
+        raise SystemExit(f"--image_root holds {len(src)} images; need at "
+                         f"least --batch ({ns.batch}) for one epoch batch")
     print(f"[feed_ab] warming decode cache ({len(src)} images) ...",
           flush=True)
     t0 = time.perf_counter()
-    src.load_batch_u8(np.arange(len(src)))
+    for lo in range(0, len(src), 1024):  # chunked: never materialize the
+        src.load_batch_u8(np.arange(lo,   # whole set as one temp batch
+                                    min(lo + 1024, len(src))))
     print(f"[feed_ab] cache warm in {time.perf_counter() - t0:.0f}s",
           flush=True)
 
@@ -79,20 +86,24 @@ def main(argv=None):
         "f32": dict(env="0", chunk=1),
         "u8c1": dict(env="1", chunk=1),
         "u8c4": dict(env="1", chunk=4),
+        "u8c8": dict(env="1", chunk=8),
     }
 
-    # compile outside the timed windows (donated-state step + both
-    # normalize programs)
+    # compile outside the timed windows: the donated-state step plus every
+    # mode's normalize programs INCLUDING the tail-group size (nb % chunk),
+    # so a full warmup epoch per mode — the module-level _NORM_JITS cache
+    # then carries the compiled programs into the timed windows' fresh
+    # DataLoader instances
     print("[feed_ab] compile warmup ...", flush=True)
     for name, m in modes.items():
         os.environ["DMT_DEVICE_NORMALIZE"] = m["env"]
         dl = DataLoader(src, ns.batch, shuffle=True, seed=0,
                         transfer_chunk=m["chunk"])
-        it = iter(dl)
-        x, _ = next(it)
+        x = None
+        for x, _ in dl:
+            pass
         *states, met = jit_step(*states, x, jax.random.key(0))
         float(met[sync_key])
-        it.close()
 
     results = {k: [] for k in modes}
     for w in range(ns.repeats):

@@ -476,6 +476,12 @@ def process_local_slice(indices: np.ndarray, process_index: int,
     return indices[process_index * per:(process_index + 1) * per]
 
 
+# Compiled u8-normalize+split programs, shared across DataLoader instances
+# (keyed by group size, normalization constants and sharding) — per-epoch
+# FID loaders and benchmark windows must not re-trace per instance.
+_NORM_JITS: Dict[Any, Any] = {}
+
+
 class DataLoader:
     """Shuffling, batching, prefetching loader that yields device arrays.
 
@@ -525,7 +531,6 @@ class DataLoader:
         self.transfer_chunk = max(1, int(
             os.environ.get("DMT_TRANSFER_CHUNK", "4")
             if transfer_chunk is None else transfer_chunk))
-        self._norm_jits: Dict[int, Any] = {}  # per-group-size normalize
 
     def __len__(self) -> int:
         n = len(self.source)
@@ -574,9 +579,14 @@ class DataLoader:
             return None
         return warm(np.concatenate(slices))
 
-    def _device_norm_split(self, u8_dev: jax.Array, n: int):
-        """(n, B, H, W, C) uint8 on device → tuple of n normalized
-        float32 (B, H, W, C) batches, jitted (cached per group size).
+    def _device_norm_split(self, u8_dev: jax.Array, y_dev: jax.Array,
+                           n: int):
+        """(n, B, H, W, C) uint8 + (n, B) labels on device → tuple of n
+        normalized float32 (B, H, W, C) batches and tuple of n (B,) label
+        arrays, jitted (module-level cache keyed by group size,
+        normalization constants and sharding, so fresh DataLoader
+        instances — per-epoch FID loaders, benchmark windows — reuse the
+        compiled program).
 
         Same math as the host path ``normalize_to_unit_range`` →
         ``renormalize_pm1``; XLA contracts each multiply+add into an fma,
@@ -587,29 +597,37 @@ class DataLoader:
         on the TPU — microseconds against the ~100 ms each f32 batch
         used to spend on the tunnel (probe: 73.7 MB/s f32 vs 44.8 MB/s
         u8 per-batch effective = fixed ~37 ms dispatch latency + ~94 MB/s
-        link)."""
-        fn = self._norm_jits.get(n)
+        link). Labels ride the same stacked transfer and split here —
+        per-batch label copies each re-paid the fixed dispatch latency."""
+        mean, std = getattr(self.source, "normalize",
+                            ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
+        mean = np.asarray(mean, np.float32)
+        std = np.asarray(std, np.float32)
+        key = (n, mean.tobytes(), std.tobytes(), self.sharding)
+        fn = _NORM_JITS.get(key)
         if fn is None:
-            mean, std = getattr(self.source, "normalize",
-                                ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)))
-            mean = np.asarray(mean, np.float32)
-            std = np.asarray(std, np.float32)
             identity = bool(np.allclose(mean, 0.5)
                             and np.allclose(std, 0.5))
             scale = np.float32(0.5) / std
             shift = (np.float32(0.5) - mean) / std
 
-            def f(u):
+            def f(u, yv):
                 x = u.astype(jnp.float32) * np.float32(2.0 / 255.0)
                 x = x - np.float32(1.0)
                 if not identity:
                     x = x * scale + shift
-                return tuple(x[i] for i in range(n))
+                return (tuple(x[i] for i in range(n)),
+                        tuple(yv[i] for i in range(n)))
 
-            kw = ({} if self.sharding is None
-                  else {"out_shardings": (self.sharding,) * n})
-            fn = self._norm_jits[n] = jax.jit(f, **kw)
-        return fn(u8_dev)
+            if self.sharding is None:
+                kw = {}
+            else:
+                ysh = jax.sharding.NamedSharding(
+                    self.sharding.mesh,
+                    jax.sharding.PartitionSpec(*self.sharding.spec[:1]))
+                kw = {"out_shardings": ((self.sharding,) * n, (ysh,) * n)}
+            fn = _NORM_JITS[key] = jax.jit(f, **kw)
+        return fn(u8_dev, y_dev)
 
     def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
         idx = self._epoch_indices()
@@ -663,8 +681,12 @@ class DataLoader:
             if multihost:
                 # arr is this host's slice; assemble the global array from
                 # per-process shards without any cross-host data movement.
+                # Global batch = local slice × process count (NOT
+                # self.batch_size, which is wrong for a partial tail batch
+                # under drop_last=False).
+                gbatch = arr.shape[bool(lead)] * self.process_count
                 gshape = ((lead,) if lead else ()) \
-                    + (self.batch_size,) + arr.shape[1 + bool(lead):]
+                    + (gbatch,) + arr.shape[1 + bool(lead):]
                 sh = self.sharding
                 if arr.ndim == 1:  # labels: shard axis 0 on the same mesh
                     sh = jax.sharding.NamedSharding(
@@ -721,13 +743,18 @@ class DataLoader:
                         return
                     x, y = item
                     if use_u8:
+                        # two transfers per group (image stack + label
+                        # stack) — one per batch would re-pay the fixed
+                        # ~37 ms dispatch latency transfer_chunk exists
+                        # to amortize
                         n = x.shape[0]
                         xd = put_on_device(x, lead=n)
-                        parts = self._device_norm_split(xd, n)
+                        yd = (put_on_device(y, lead=n) if multihost
+                              or self.sharding is not None
+                              else jnp.asarray(y))
+                        xs, ys = self._device_norm_split(xd, yd, n)
                         for j in range(n):
-                            yd = (put_on_device(y[j]) if multihost
-                                  else jnp.asarray(y[j]))
-                            if not put_q(q, (parts[j], yd)):
+                            if not put_q(q, (xs[j], ys[j])):
                                 return
                     else:
                         xd = put_on_device(x)

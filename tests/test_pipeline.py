@@ -435,8 +435,16 @@ def test_u8_device_feed_matches_host_path(tmp_path, monkeypatch):
                  ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))):
         src = pl.ImageFolderSource(root, img_size=32, num_workers=2,
                                    normalize=norm, cache="on")
+        # pin the fast path on (an inherited DMT_DEVICE_NORMALIZE=0 would
+        # silently compare the slow path to itself) and prove it engaged:
+        # the u8 feed must never call the host-normalize load_batch
+        monkeypatch.setenv("DMT_DEVICE_NORMALIZE", "1")
+        monkeypatch.setattr(
+            src, "load_batch",
+            lambda idx: pytest.fail("u8 fast path did not engage"))
         fast = [(np.asarray(x), np.asarray(y))
                 for x, y in pl.DataLoader(src, 4, shuffle=True, seed=11)]
+        monkeypatch.undo()
         monkeypatch.setenv("DMT_DEVICE_NORMALIZE", "0")
         slow_dl = pl.DataLoader(src, 4, shuffle=True, seed=11)
         slow = [(np.asarray(x), np.asarray(y)) for x, y in slow_dl]
