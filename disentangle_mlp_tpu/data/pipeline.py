@@ -346,6 +346,9 @@ class MNISTSource:
     (B, img_size, img_size, 1) float32."""
 
     MEAN, STD = 0.1307, 0.3081
+    # the DataLoader's device-normalize math composes to (u/255 − mean)/std
+    # — exactly this source's host normalize — so the u8 fast feed applies
+    normalize = ((MEAN,), (STD,))
 
     def __init__(self, root: str, img_size: int = 28, train: bool = True):
         found = find_mnist_files(root, train=train)
@@ -371,6 +374,25 @@ class MNISTSource:
         x = imgs.astype(np.float32) / 255.0
         x = (x - self.MEAN) / self.STD
         return x[..., None], self.labels[np.asarray(indices)]
+
+    def load_batch_u8(self, indices: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """``load_batch`` minus the normalize: (B, img_size, img_size, 1)
+        uint8 + labels — the DataLoader's u8 fast feed (4× fewer bytes
+        over the tunnel; normalize runs on device, ≤1 ulp vs the host
+        path). PIL's bilinear resize of a uint8 image returns uint8, so
+        the shipped pixels are bit-identical to what load_batch
+        normalizes."""
+        from PIL import Image
+
+        indices = np.asarray(indices)
+        imgs = self.images[indices]
+        if self.img_size != imgs.shape[1]:
+            imgs = np.stack([
+                np.asarray(Image.fromarray(im).resize(
+                    (self.img_size, self.img_size), Image.BILINEAR))
+                for im in imgs])
+        return imgs[..., None], self.labels[indices]
 
 
 class SyntheticSource:

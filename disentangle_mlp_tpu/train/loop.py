@@ -27,8 +27,7 @@ from ..data.pipeline import get_data_loader
 from ..eval.samples import gen_reconstructions, generate_fid_samples, generate_samples
 from ..parallel.mesh import (batch_sharding, make_mesh,
                              maybe_initialize_distributed, replicate)
-from ..utils.checkpoint import (AsyncCheckpointer, load_checkpoint,
-                                 rotate_checkpoints)
+from ..utils.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..utils.logger import Logger
 from .gan import create_gan_experiment
 from .vae import create_vae_experiment
@@ -202,9 +201,9 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             avg_loss = float(total_loss) / train_loader.dataset_size
             meter.pause()  # FID/checkpoint wall time is not train time
             if _ckpt_due(cfg, epoch):
-                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}",
-                          epoch + 1, {"model": exp.state})
-                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+                ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
+                          {"model": exp.state},
+                          rotate_keep=cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
                   f"FID: {fid} ({meter.rate():.1f} img/s)")
@@ -280,8 +279,8 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             meter.pause()
             if _ckpt_due(cfg, epoch):
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                          {"g": exp.g_state, "d": exp.d_state})
-                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+                          {"g": exp.g_state, "d": exp.d_state},
+                          rotate_keep=cfg.keep_checkpoints)
             fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
             print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
                   f"Average loss D: {avg_d:.4f} FID: {fid} "
@@ -366,8 +365,8 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
             meter.pause()
             if _ckpt_due(cfg, epoch):
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                          {"eg": exp.eg_state, "d": exp.d_state})
-                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+                          {"eg": exp.eg_state, "d": exp.d_state},
+                          rotate_keep=cfg.keep_checkpoints)
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
             # our Config defines it (config.py).
@@ -475,8 +474,8 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
             meter.pause()
             if _ckpt_due(cfg, epoch):
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
-                          {"eg": exp.eg_state, "d": exp.d_state})
-                rotate_checkpoints(cfg.model_path, cfg.keep_checkpoints)
+                          {"eg": exp.eg_state, "d": exp.d_state},
+                          rotate_keep=cfg.keep_checkpoints)
             # FID needs 3-channel samples and z_dim == n_hidden; only the
             # birds generator satisfies both.
             fid = (_maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)

@@ -94,7 +94,13 @@ class AsyncCheckpointer:
                                                              "float32")
                                  else opt_state_dtype)
 
-    def save(self, path: str, epoch: int, states: Dict[str, Any]) -> None:
+    def save(self, path: str, epoch: int, states: Dict[str, Any],
+             rotate_keep: int = 0) -> None:
+        """``rotate_keep > 0``: prune to the newest ``rotate_keep``
+        ``model_<N>`` files AFTER this save lands, inside the worker —
+        rotating from the caller (as the loops did through round 4) runs
+        before the async write exists on disk, so ``keep_checkpoints=N``
+        actually left N+1 files behind."""
         self.wait()  # single-flight: previous save must land first
         if self._opt_state_dtype:
             states = _cast_opt_state(states, self._opt_state_dtype)
@@ -103,6 +109,8 @@ class AsyncCheckpointer:
         def worker():
             try:
                 save_checkpoint(path, epoch, snap)
+                if rotate_keep > 0:
+                    rotate_checkpoints(os.path.dirname(path), rotate_keep)
             except BaseException as e:  # surfaced on next wait()/save()
                 self._error = e
 

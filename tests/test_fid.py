@@ -179,3 +179,24 @@ def test_statistics_from_dir_streams_in_batches(tmp_path, fake_images):
     mu_f, sig_f = activation_statistics(get_activations(ref))
     np.testing.assert_allclose(mu_s, mu_f, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(sig_s, sig_f, rtol=1e-5, atol=1e-4)
+
+
+def test_dataset_statistics_device_batches_match_host():
+    """compute_dataset_statistics must keep device-resident loader batches
+    on device (round 4: the old per-batch device_get + re-upload cost
+    ~25 MB of tunnel traffic per 256-image batch) and agree with the host
+    path to float64 rounding."""
+    import jax.numpy as jnp
+
+    from disentangle_mlp_tpu.eval.fid import compute_dataset_statistics
+
+    rng = np.random.default_rng(7)
+    pm1 = rng.uniform(-1, 1, (12, 32, 32, 3)).astype(np.float32)
+    y = np.zeros((4,), np.int32)
+    host_loader = [(pm1[i:i + 4], y) for i in range(0, 12, 4)]
+    dev_loader = [(jnp.asarray(x), jnp.asarray(yy)) for x, yy in host_loader]
+
+    mu_h, sig_h = compute_dataset_statistics(host_loader)
+    mu_d, sig_d = compute_dataset_statistics(dev_loader)
+    np.testing.assert_allclose(mu_d, mu_h, rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(sig_d, sig_h, rtol=1e-5, atol=1e-4)

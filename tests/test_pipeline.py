@@ -457,13 +457,43 @@ def test_u8_device_feed_matches_host_path(tmp_path, monkeypatch):
 
 
 def test_u8_feed_engages_only_for_capable_sources():
-    """Synthetic/MNIST sources have no load_batch_u8 — the loader must
-    fall back to the f32 host path, not crash."""
+    """The synthetic source has no load_batch_u8 (it generates float
+    in-memory — there is no u8 original) — the loader must fall back to
+    the f32 host path, not crash."""
     src = SyntheticSource(size=8, img_size=16, seed=3)
     dl = DataLoader(src, 4, shuffle=False)
     batches = [(np.asarray(x), np.asarray(y)) for x, y in dl]
     assert len(batches) == 2
     assert batches[0][0].dtype == np.float32
+
+
+def test_mnist_u8_device_feed_matches_host_path(tmp_path, monkeypatch):
+    """MNIST's u8 fast feed (round 4): shipped uint8 idx pixels +
+    device-side (u/255 − 0.1307)/0.3081 must match the host-normalize
+    path to ≤1 ulp — including through the bilinear resize (PIL returns
+    uint8, so the shipped pixels are exactly what the host path
+    normalizes)."""
+    from disentangle_mlp_tpu.data import pipeline as pl
+
+    _write_mnist_idx(tmp_path / "mnist")
+    for size in (28, 32):  # native and resized
+        src = pl.MNISTSource(str(tmp_path / "mnist"), img_size=size)
+        monkeypatch.setenv("DMT_DEVICE_NORMALIZE", "1")
+        monkeypatch.setattr(
+            src, "load_batch",
+            lambda idx: pytest.fail("u8 fast path did not engage"))
+        fast = [(np.asarray(x), np.asarray(y))
+                for x, y in pl.DataLoader(src, 4, shuffle=True, seed=5)]
+        monkeypatch.undo()
+        monkeypatch.setenv("DMT_DEVICE_NORMALIZE", "0")
+        slow = [(np.asarray(x), np.asarray(y))
+                for x, y in pl.DataLoader(src, 4, shuffle=True, seed=5)]
+        monkeypatch.delenv("DMT_DEVICE_NORMALIZE")
+        assert len(fast) == len(slow) > 0
+        for (xf, yf), (xs, ys) in zip(fast, slow):
+            assert xf.dtype == np.float32 and xf.shape[-1] == 1
+            np.testing.assert_allclose(xf, xs, atol=3e-6, rtol=0)
+            np.testing.assert_array_equal(yf, ys)
 
 
 def test_loader_exception_surfaces_through_both_stages(tmp_path):
