@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import os
 import pathlib
+import zipfile
 from typing import Optional, Tuple
 
 import jax
@@ -216,6 +217,15 @@ class StatsFileError(ValueError):
     for a missing file), not a programming error."""
 
 
+# The full set of "missing/unreadable/corrupt asset" conditions under which
+# per-epoch FID degrades to 'N/A' instead of killing training — ONLY these;
+# anything else in the FID stack is a programming error and re-raises
+# (round-1 review; train/loop.py _maybe_fid and the async variant both key
+# off this one tuple so the two paths cannot drift apart).
+ASSET_ERRORS = (FileNotFoundError, NotADirectoryError, IsADirectoryError,
+                PermissionError, zipfile.BadZipFile, StatsFileError)
+
+
 def load_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
     with np.load(path) as f:
         try:
@@ -284,23 +294,52 @@ def get_fid(path_data: str, path_pretrained: str) -> float:
     return frechet_distance(m1, s1, m2, s2)
 
 
-def get_fid_from_samples(samples_pm1: np.ndarray, path_pretrained: str,
-                         devices=None) -> float:
-    """TPU fast path: score decoded samples (NHWC in [-1,1]) directly
-    against reference stats — no disk round-trip. ``devices``: optional
-    chip group for the activation extraction (see get_activations).
+def frechet_from_acts(acts: np.ndarray, mu2: np.ndarray,
+                      sigma2: np.ndarray) -> float:
+    """The host-side half of sample scoring: pool3 activations → FID.
 
     When the sample count is below the feature dimension (the reference's
     per-epoch configuration: 1,000 samples, 2,048-d pool3) the Fréchet
     term is computed in the sample subspace (frechet_distance_from_samples
-    — exact, ~28× faster on this host); otherwise the full-stats path."""
+    — exact, ~28× faster on this host); otherwise the full-stats path.
+    Split out from get_fid_from_samples so the train loops can run it on a
+    background thread, overlapped with the next epoch's device steps
+    (train/loop.py _maybe_fid_async)."""
+    if acts.shape[0] < FEATURE_DIM:
+        return frechet_distance_from_samples(acts, mu2, sigma2)
+    m1, s1 = activation_statistics(acts)
+    return frechet_distance(m1, s1, mu2, sigma2)
+
+
+def get_fid_from_samples(samples_pm1: np.ndarray, path_pretrained: str,
+                         devices=None) -> float:
+    """TPU fast path: score decoded samples (NHWC in [-1,1]) directly
+    against reference stats — no disk round-trip. ``devices``: optional
+    chip group for the activation extraction (see get_activations)."""
     m2, s2 = _handle_path(path_pretrained)
     imgs = per_image_normalize(samples_pm1)
     acts = get_activations(imgs, devices=devices)
-    if acts.shape[0] < FEATURE_DIM:
-        return frechet_distance_from_samples(acts, m2, s2)
-    m1, s1 = activation_statistics(acts)
-    return frechet_distance(m1, s1, m2, s2)
+    return frechet_from_acts(acts, m2, s2)
+
+
+_pm1_to_u8_jit = jax.jit(lambda b: jnp.clip(
+    _per_image_normalize_body(b.astype(jnp.float32), jnp) * 255.0 + 0.5,
+    0, 255).astype(jnp.uint8))
+
+
+def normalized_u8(batch):
+    """Per-image min-max → uint8 — image_io._to_uint8(normalize=True)
+    semantics (torchvision save_image(normalize=True)). Device batches run
+    as one fused on-device program and STAY on device, so the eventual host
+    pull for the PNG sample files moves n·H·W·C bytes instead of 4× that
+    in float32 over the ~94 MB/s tunnel (round 4). Host batches take the
+    numpy path; both agree to ≤1 uint8 step (f32 rounding at the quantize
+    boundary — tests/test_fid.py)."""
+    if isinstance(batch, jax.Array):
+        return _pm1_to_u8_jit(batch)
+    from ..utils.image_io import _to_uint8
+    batch = np.asarray(batch, np.float32)
+    return np.stack([_to_uint8(b, normalize=True) for b in batch])
 
 
 _pm1_to01_jit = jax.jit(lambda x: (x.astype(jnp.float32) + 1.0) * 0.5)

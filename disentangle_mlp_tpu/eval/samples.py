@@ -33,6 +33,23 @@ def _sample_latents(rng_seed: int, n_samples: int, n_hidden: int) -> jax.Array:
         jax.random.key(rng_seed), (n_samples, n_hidden), jnp.float32)
 
 
+def write_sample_files(u8_batch, epoch: int, results_path: str,
+                       prefix: str = "sample") -> None:
+    """One ``{prefix}_{i}_{epoch}.png`` per image from an ALREADY-quantized
+    NHWC uint8 batch (eval.fid.normalized_u8 — per-image min-max, the
+    save_image(normalize=True) math, done on device for device batches).
+    Accepts a device array (pulled here: n·H·W·C bytes, 4× less tunnel
+    traffic than the old float32 pull); safe to call from a background
+    thread, which the train loops do (train/loop.py _maybe_fid_async)."""
+    from PIL import Image
+
+    u8_batch = np.asarray(jax.device_get(u8_batch))
+    for i, arr in enumerate(u8_batch):
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        Image.fromarray(arr).save(f"{results_path}/{prefix}_{i}_{epoch}.png")
+
+
 def generate_fid_samples(fn: Callable, epoch: int, n_samples: int,
                          n_hidden: int, results_path: str,
                          rng_seed: int = 0):
@@ -40,16 +57,15 @@ def generate_fid_samples(fn: Callable, epoch: int, n_samples: int,
     (utils.py:21-26). Returns the decoded batch so callers can also score
     FID in memory without the disk round-trip — DEVICE-resident when the
     decode ran on device (the on-device scoring path in eval/fid.py then
-    never re-uploads the 1000×64×64×3 batch over the tunnel; the single
-    host pull here feeds only the PNG writes), plain numpy otherwise
-    (lambda fns in tests)."""
+    never re-uploads the 1000×64×64×3 batch over the tunnel; the host pull
+    here feeds only the PNG writes, quantized to uint8 on device first),
+    plain numpy otherwise (lambda fns in tests)."""
+    from .fid import normalized_u8
+
     z = _sample_latents(rng_seed, n_samples, n_hidden)
     dev = fn(z)
-    batch = np.asarray(jax.device_get(dev), np.float32)
-    for i in range(batch.shape[0]):
-        save_image(batch[i], f"{results_path}/sample_{i}_{epoch}.png",
-                   normalize=True)
-    return dev if isinstance(dev, jax.Array) else batch
+    write_sample_files(normalized_u8(dev), epoch, results_path)
+    return dev if isinstance(dev, jax.Array) else np.asarray(dev, np.float32)
 
 
 def generate_samples(fn: Callable, epoch: int, n_samples: int, n_hidden: int,

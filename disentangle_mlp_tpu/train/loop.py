@@ -8,6 +8,12 @@ generated samples → JSON log; afterwards an optional eval sweep over
 is that skeleton, once, for all three experiments — the per-batch math
 lives in the jitted step functions.
 
+Per-epoch FID is scored ASYNCHRONOUSLY (round 4): device work happens at
+epoch end, but the host-side Fréchet eigen math and sample-PNG encodes run
+on a background worker, and the epoch's console line + JSON record are
+emitted when the NEXT epoch ends (the last at loop exit). Record contents
+and order are unchanged; DMT_ASYNC_FID=0 restores inline scoring.
+
 Logged keys per experiment match the reference logs exactly
 (results/logs/*.json; SURVEY.md §5):
   vae:        {Epoch, Avg Loss, FID}
@@ -17,7 +23,9 @@ Logged keys per experiment match the reference logs exactly
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Optional
 
 import jax
@@ -129,9 +137,7 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
     review: the bare except hid real bugs behind 'N/A')."""
     if not cfg.calc_fid:
         return "N/A"
-    import zipfile
-
-    from ..eval.fid import StatsFileError, get_fid_from_samples
+    from ..eval.fid import ASSET_ERRORS, get_fid_from_samples
 
     try:
         samples = generate_fid_samples(
@@ -139,11 +145,130 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
             rng_seed=cfg.seed + epoch)
         return get_fid_from_samples(samples, cfg.fid_path_pretrained,
                                     devices=devices)
-    except (FileNotFoundError, NotADirectoryError, IsADirectoryError,
-            PermissionError, zipfile.BadZipFile, StatsFileError) as e:
+    except ASSET_ERRORS as e:
         # missing/unreadable/corrupt asset must not kill training
         print(f"[fid] skipped: {e}")
         return "N/A"
+
+
+# Per-epoch FID's host-side work — the d×d (or n×n) float64 eigen math and
+# n_samples PNG encodes — runs on this single background worker so it
+# overlaps the NEXT epoch's device steps. At full size the host eigh alone
+# rivals an epoch's train wall on this 1-CPU host (E2E_FOLDER_r4.json:
+# ~11 s of Fréchet math vs ~5 s of training per 20k-image epoch), so the
+# overlap roughly halves steady-state epoch wall time. One worker: the
+# host has one CPU, and FIFO order keeps per-epoch scores resolving in
+# submission order. DMT_ASYNC_FID=0 restores inline scoring.
+_FID_ASYNC = os.environ.get("DMT_ASYNC_FID", "1") != "0"
+_FID_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _instant_na():
+    """A resolve() that is already 'N/A' (FID disabled, or the stats asset
+    absent). Tagged so _EpochEmitter needn't defer its epoch record — there
+    is no background work to overlap."""
+    fn = lambda: "N/A"  # noqa: E731
+    fn.instant = True
+    return fn
+
+
+def _fid_pool() -> ThreadPoolExecutor:
+    global _FID_POOL
+    if _FID_POOL is None:
+        _FID_POOL = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="dmt-fid")
+    return _FID_POOL
+
+
+def _maybe_fid_async(cfg: Config, decode_fn: Callable, epoch: int,
+                     path: str, devices=None) -> Callable[[], object]:
+    """Async twin of :func:`_maybe_fid` for the train loops: returns a
+    zero-arg ``resolve()`` → float | 'N/A'. Device work (decode, per-image
+    normalize, pool3 extraction, uint8 quantize) runs NOW in the caller's
+    thread — ``decode_fn`` closes over live train state, and interleaving
+    a second program stream into the chip's step pipeline would add
+    jitter. Only host work is deferred: the PNG pull+encodes and the
+    Fréchet eigen math. Error contract unchanged (ASSET_ERRORS → 'N/A',
+    printed; programming errors re-raise — from resolve() when they arise
+    in the deferred half)."""
+    if not cfg.calc_fid:
+        return _instant_na()
+    from ..eval import fid as fid_mod
+    from ..eval.samples import _sample_latents, write_sample_files
+
+    try:
+        m2, s2 = fid_mod._handle_path(cfg.fid_path_pretrained)
+        z = _sample_latents(cfg.seed + epoch, cfg.n_samples, cfg.n_hidden)
+        dev = decode_fn(z)
+        acts = fid_mod.get_activations(
+            fid_mod.per_image_normalize(dev), devices=devices)
+        u8 = fid_mod.normalized_u8(dev)  # device compute only; pulled in job
+    except fid_mod.ASSET_ERRORS as e:
+        print(f"[fid] skipped: {e}")
+        return _instant_na()
+
+    def job():
+        # PNG files first (the sync path wrote them before scoring, so an
+        # unwritable samples dir degrades to 'N/A' before any FID exists)
+        write_sample_files(u8, epoch, path)
+        return fid_mod.frechet_from_acts(acts, m2, s2)
+
+    future = _fid_pool().submit(job)
+
+    def resolve():
+        try:
+            return future.result()
+        except fid_mod.ASSET_ERRORS as e:
+            print(f"[fid] skipped: {e}")
+            return "N/A"
+
+    return resolve
+
+
+class _EpochEmitter:
+    """Defers each epoch's console line + JSON record until its FID
+    resolves — one epoch later in async mode (finish() flushes the last),
+    so the background Fréchet/PNG work overlaps the following epoch's
+    training. Values and record order are identical to inline emission;
+    only console TIMING shifts (epoch N's ``====>`` line prints at epoch
+    N+1's end). ``line`` is fully pre-formatted except the ``{fid}`` slot
+    — rates/losses are captured at epoch end, not at flush time."""
+
+    def __init__(self, logger: Logger, deferred: Optional[bool] = None):
+        self.logger = logger
+        self.deferred = _FID_ASYNC if deferred is None else deferred
+        self._pending = None
+        self.last: Dict = {}
+
+    def emit(self, resolve: Callable[[], object],
+             record_fn: Callable[[object], Dict], line: str,
+             last_fn: Optional[Callable[[Dict], Dict]] = None):
+        item = (resolve, record_fn, line, last_fn)
+        # instant resolves (FID off / asset absent) emit inline — UNLESS an
+        # earlier epoch is still pending, which must flush first to keep
+        # log records in epoch order (the asset can appear mid-run)
+        if not self.deferred or (getattr(resolve, "instant", False)
+                                 and self._pending is None):
+            self._flush(item)
+            return
+        prev, self._pending = self._pending, item
+        if prev is not None:
+            self._flush(prev)
+
+    def _flush(self, item):
+        resolve, record_fn, line, last_fn = item
+        fid = resolve()
+        rec = record_fn(fid)
+        print(line.format(fid=fid))
+        self.logger.log(rec)
+        self.last = last_fn(rec) if last_fn else \
+            {k: v for k, v in rec.items() if k != "Epoch"}
+
+    def finish(self) -> Dict:
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._flush(prev)
+        return dict(self.last)
 
 
 def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
@@ -180,7 +305,7 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     meter = Throughput()
     ckpt = AsyncCheckpointer(
         opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
-    last = {}
+    emitter = _EpochEmitter(logger)
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
             meter.resume()
@@ -204,11 +329,13 @@ def run_vae(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                           {"model": exp.state},
                           rotate_keep=cfg.keep_checkpoints)
-            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
-            print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
-                  f"FID: {fid} ({meter.rate():.1f} img/s)")
-            logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
-            last = {"Avg Loss": avg_loss, "FID": fid}
+            emitter.emit(
+                _maybe_fid_async(cfg, decode_fn, epoch, cfg.fid_path_samples),
+                lambda fid, e=epoch, a=avg_loss: {
+                    "Epoch": e, "Avg Loss": a, "FID": fid},
+                f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
+                f"FID: {{fid}} ({meter.rate():.1f} img/s)")
+    last = emitter.finish()
 
     ckpt.wait()
     _eval_sweep(cfg, {"model": exp.state}, decode_fn,
@@ -254,7 +381,7 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     meter = Throughput()
     ckpt = AsyncCheckpointer(
         opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
-    last = {}
+    emitter = _EpochEmitter(logger)
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
             meter.resume()
@@ -281,13 +408,16 @@ def run_gan(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
                           {"g": exp.g_state, "d": exp.d_state},
                           rotate_keep=cfg.keep_checkpoints)
-            fid = _maybe_fid(cfg, generate_fn, epoch, cfg.fid_path_samples)
-            print(f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
-                  f"Average loss D: {avg_d:.4f} FID: {fid} "
-                  f"({meter.rate():.1f} img/s)")
-            logger.log({"Epoch": epoch, "Avg Loss G": avg_g,
-                        "Avg Loss E": avg_d, "FID": fid})
-            last = {"Avg Loss G": avg_g, "Avg Loss E": avg_d, "FID": fid}
+            emitter.emit(
+                _maybe_fid_async(cfg, generate_fn, epoch,
+                                 cfg.fid_path_samples),
+                lambda fid, e=epoch, g=avg_g, d=avg_d: {
+                    "Epoch": e, "Avg Loss G": g, "Avg Loss E": d,
+                    "FID": fid},
+                f"====> Epoch: {epoch} Average loss G: {avg_g:.4f} "
+                f"Average loss D: {avg_d:.4f} FID: {{fid}} "
+                f"({meter.rate():.1f} img/s)")
+    last = emitter.finish()
 
     ckpt.wait()
     _eval_sweep(cfg, {"g": exp.g_state, "d": exp.d_state}, generate_fn,
@@ -343,7 +473,7 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
     meter = Throughput()
     ckpt = AsyncCheckpointer(
         opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
-    last = {}
+    emitter = _EpochEmitter(logger)
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
             meter.resume()
@@ -370,16 +500,19 @@ def run_vaegan(cfg: Config, logger: Optional[Logger] = None,
             # The reference scores per-epoch FID into fid_path_recons
             # (new_betavaegan.py:234) — an attribute EnvSetter never set;
             # our Config defines it (config.py).
-            fid = _maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_recons,
-                             devices=devices)
-            print(f"====> Epoch: {epoch} Avg Encoder Loss: {enc_l:.4f} "
-                  f"Avg Decoder Loss: {dec_l:.4f} "
-                  f"Avg Discriminator Loss: {dis_l:.4f} FID: {fid} "
-                  f"Dx: {d_x:.4f} ({meter.rate():.1f} img/s)")
-            logger.log({"Epoch": epoch, "Avg Eec Loss": enc_l,
-                        "Avg Dnc Loss": dec_l, "Avg Dis Loss": dis_l,
-                        "FID": fid})
-            last = {"Avg Eec Loss": enc_l, "Avg Dis Loss": dis_l, "FID": fid}
+            emitter.emit(
+                _maybe_fid_async(cfg, decode_fn, epoch, cfg.fid_path_recons,
+                                 devices=devices),
+                lambda fid, e=epoch, a=enc_l, b=dec_l, c=dis_l: {
+                    "Epoch": e, "Avg Eec Loss": a, "Avg Dnc Loss": b,
+                    "Avg Dis Loss": c, "FID": fid},
+                f"====> Epoch: {epoch} Avg Encoder Loss: {enc_l:.4f} "
+                f"Avg Decoder Loss: {dec_l:.4f} "
+                f"Avg Discriminator Loss: {dis_l:.4f} FID: {{fid}} "
+                f"Dx: {d_x:.4f} ({meter.rate():.1f} img/s)",
+                last_fn=lambda rec: {k: rec[k] for k in
+                                     ("Avg Eec Loss", "Avg Dis Loss", "FID")})
+    last = emitter.finish()
 
     ckpt.wait()
     _eval_sweep(cfg, {"eg": exp.eg_state, "d": exp.d_state}, decode_fn,
@@ -458,7 +591,7 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
     meter = Throughput()
     ckpt = AsyncCheckpointer(
         opt_state_dtype=getattr(cfg, "checkpoint_save_dtype", None))
-    last = {}
+    emitter = _EpochEmitter(logger)
     if cfg.to_train:
         for epoch in range(start_epoch, cfg.epochs):
             meter.resume()
@@ -478,12 +611,14 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           rotate_keep=cfg.keep_checkpoints)
             # FID needs 3-channel samples and z_dim == n_hidden; only the
             # birds generator satisfies both.
-            fid = (_maybe_fid(cfg, decode_fn, epoch, cfg.fid_path_samples)
-                   if cfg.dataset == "birds" else "N/A")
-            print(f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
-                  f"FID: {fid} ({meter.rate():.1f} img/s)")
-            logger.log({"Epoch": epoch, "Avg Loss": avg_loss, "FID": fid})
-            last = {"Avg Loss": avg_loss, "FID": fid}
+            emitter.emit(
+                _maybe_fid_async(cfg, decode_fn, epoch, cfg.fid_path_samples)
+                if cfg.dataset == "birds" else _instant_na(),
+                lambda fid, e=epoch, a=avg_loss: {
+                    "Epoch": e, "Avg Loss": a, "FID": fid},
+                f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
+                f"FID: {{fid}} ({meter.rate():.1f} img/s)")
+    last = emitter.finish()
 
     ckpt.wait()
     last["images_per_sec"] = meter.rate()
