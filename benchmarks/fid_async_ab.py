@@ -13,13 +13,23 @@ only valid comparison on the drifting tunneled chip — README_PERF), full
 
     python -m benchmarks.fid_async_ab --out FID_ASYNC_AB_r4.json
 
-Per-epoch FID values are asserted identical across modes in-run.
+``--image_root`` switches the feed to a JPEG ImageFolder tree (the
+production path the E2E run measured, where the host eigh dominates the
+epoch tail). Folder runs re-decode per run (the RAM cache is
+per-loader), so besides run walls the report carries STEADY epoch walls:
+a timestamping logger records each epoch's record-flush time and the
+median of the cache-warm diffs (epochs 2..4 in both modes — the async
+flush shift keeps indices comparable) is the steady number.
+
+Per-epoch FID curves are asserted identical across modes in-run.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
+import statistics
 import time
 
 
@@ -32,6 +42,9 @@ def main(argv=None):
                          "(the E2E_FOLDER_r4 configuration)")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--windows", type=int, default=2)
+    ap.add_argument("--image_root", default=None,
+                    help="JPEG ImageFolder tree; switches the feed from "
+                         "synthetic to the production folder path")
     ap.add_argument("--out", default="FID_ASYNC_AB_r4.json")
     ap.add_argument("--toy", action="store_true",
                     help="toy widths on CPU — validates the harness "
@@ -56,64 +69,115 @@ def main(argv=None):
     from disentangle_mlp_tpu.data.pipeline import get_data_loader
     from disentangle_mlp_tpu.eval.fid import compute_dataset_statistics
     from disentangle_mlp_tpu.train.loop import run_vaegan
+    from disentangle_mlp_tpu.utils.logger import Logger
+
+    if ns.image_root:
+        data_kw = dict(dataset="celebA", image_root_train=ns.image_root)
+        ns.train_size = len(glob.glob(f"{ns.image_root}/*/*.jpg"))
+        assert ns.train_size, f"no JPEGs under {ns.image_root}/*/"
+    else:
+        data_kw = dict(synthetic_data=True,
+                       synthetic_train_size=ns.train_size)
 
     def cfg(name, epochs):
         return Config(
             name=name, beta=25.0, epochs=epochs,
-            synthetic_data=True, synthetic_train_size=ns.train_size,
             batch_size_train=16 if ns.toy else 256,
             n_samples=ns.n_samples,
             calc_fid=True, checkpoint_every=0,
             fid_path_pretrained=".e2e_runs/fid_async_stats.npz",
             save_path=".e2e_runs/%", log_path=".e2e_runs/%/log",
-            **toy).finalize()
+            **data_kw, **toy).finalize()
 
-    # one-off: stats from the same synthetic distribution + compile every
+    class TimedLogger(Logger):
+        """Stamp each epoch record's flush time: diffs = epoch cadence
+        (in async mode epoch N's record flushes as epoch N+1 lands, so
+        diffs are the same steady walls shifted by one)."""
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.stamps, self.records = [], []
+
+        def log(self, results):
+            super().log(results)
+            self.stamps.append(time.perf_counter())
+            self.records.append(dict(results))
+
+    # one-off: stats from the training distribution + compile every
     # program (train step, Inception, normalize/u8) outside the windows
     c0 = cfg("fidab_warm", 1)
     train, _, _ = get_data_loader(c0)
     compute_dataset_statistics(train, ".e2e_runs/fid_async_stats.npz",
                                max_images=ns.stats_images)
+    del train  # release its decode cache before the measured runs
     loop_mod._FID_ASYNC = True
     run_vaegan(c0)
 
     walls = {"async": [], "inline": []}
-    fids = {}
+    steady = {"async": [], "inline": []}
+    curves = {}
     for w in range(ns.windows):
         for mode in ("async", "inline"):
             loop_mod._FID_ASYNC = mode == "async"
+            c = cfg(f"fidab_{mode}_{w}", ns.epochs)
+            lg = TimedLogger(c.log_path, c)
             t0 = time.perf_counter()
-            last = run_vaegan(cfg(f"fidab_{mode}_{w}", ns.epochs))
+            last = run_vaegan(c, logger=lg)
             walls[mode].append(time.perf_counter() - t0)
-            fids.setdefault(mode, last["FID"])
+            diffs = [b - a for a, b in zip(lg.stamps, lg.stamps[1:])]
+            # epochs 2..E-1 are cache-warm in BOTH modes at these indices
+            # (async's one-record shift keeps them comparable); the first
+            # diff carries the per-run re-decode, the async last diff is
+            # the tiny final-resolve flush.
+            if len(diffs) > 2:
+                steady[mode].append(statistics.median(diffs[1:-1]))
+            curve = [r["FID"] for r in lg.records]
+            curves.setdefault(mode, curve)
+            # same seeds + same math → the two modes must score
+            # identically, epoch by epoch
+            assert curve == curves[mode], (mode, curve, curves[mode])
             print(f"[window {w}] {mode}: "
-                  f"{walls[mode][-1] / ns.epochs:.2f} s/epoch "
+                  f"{walls[mode][-1] / ns.epochs:.2f} s/epoch run-avg, "
+                  f"steady {steady[mode][-1] if steady[mode] else None} "
                   f"(final FID {last['FID']:.3f})", flush=True)
-    # same seeds + same math → the two modes must score identically
-    assert abs(fids["async"] - fids["inline"]) < 1e-9, fids
+    assert curves["async"] == curves["inline"], curves
 
     best_a, best_i = min(walls["async"]), min(walls["inline"])
     report = {
         "train_size": ns.train_size, "n_samples": ns.n_samples,
+        "image_root": ns.image_root,
         "epochs_per_run": ns.epochs, "batch": 16 if ns.toy else 256,
         "epoch_wall_s": {k: [round(v / ns.epochs, 2) for v in vs]
                          for k, vs in walls.items()},
         "best_epoch_wall_s": {"async": round(best_a / ns.epochs, 2),
                               "inline": round(best_i / ns.epochs, 2)},
+        "steady_epoch_wall_s": {k: [round(v, 2) for v in vs]
+                                for k, vs in steady.items()},
+        "best_steady_epoch_wall_s": {
+            k: round(min(vs), 2) for k, vs in steady.items() if vs},
         "img_s_best": {
             "async": round(ns.train_size * ns.epochs / best_a, 1),
             "inline": round(ns.train_size * ns.epochs / best_i, 1)},
         "speedup": round(best_i / best_a, 2),
-        "final_fid": fids["async"],
+        "steady_speedup": (round(min(steady["inline"])
+                                 / min(steady["async"]), 2)
+                           if steady["async"] and steady["inline"]
+                           else None),
+        "fid_curve": curves["async"],
+        "final_fid": curves["async"][-1],
         "note": "interleaved in-process windows, warm programs + stats; "
-                "per-run wall includes model init and the final epoch's "
-                "non-overlappable FID resolve; FID equality asserted "
-                "in-run across modes",
+                "per-run wall includes model init, per-run folder "
+                "re-decode, and the final epoch's non-overlappable FID "
+                "resolve; steady walls are cache-warm epoch medians from "
+                "the record-flush stamps; full FID-curve equality "
+                "asserted in-run across modes",
     }
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report["best_epoch_wall_s"]
-                     | {"speedup": report["speedup"]}))
+                     | {"speedup": report["speedup"],
+                        "steady": report["best_steady_epoch_wall_s"],
+                        "steady_speedup": report["steady_speedup"]}))
     print(f"report → {ns.out}")
 
 
