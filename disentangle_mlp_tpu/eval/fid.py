@@ -160,6 +160,43 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 0.0) -> float:
                  - 2.0 * tr_covmean)
 
 
+def _sqrt_psd(sigma: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigh (tiny negative eigenvalues from
+    rounding clipped, as in frechet_distance)."""
+    w, v = np.linalg.eigh(np.asarray(sigma, np.float64))
+    return (v * np.sqrt(np.clip(w, 0.0, None))) @ v.T
+
+
+# √Σ₂ of the run's reference statistics, memoized on the stats file's
+# identity. The reference Σ₂ is FIXED across a run's epochs, and
+# tr√(Σ₁Σ₂) = tr√(√Σ₂ Σ₁ √Σ₂) (Σ₁Σ₂ and Σ₂Σ₁ share eigenvalues), so the
+# per-epoch full-stats path can spend ONE d×d eigvalsh instead of an eigh
+# of Σ₁ plus an eigvalsh of the product — on this 1-CPU host that halves
+# the ~8 s of per-epoch Fréchet math at d=2048 that sits in the epoch tail
+# (inline) or contends with the next epoch's dispatch (async). One entry:
+# a process scores against one stats file at a time; mtime/size key means
+# a stats file that appears or is rebuilt mid-run recomputes.
+_SQRT2_CACHE: dict = {}
+
+
+def cached_sqrt_sigma2(path: str, sigma2: np.ndarray) -> Optional[np.ndarray]:
+    """√Σ₂ for ``path``'s reference stats, memoized while the .npz file is
+    unchanged (None for non-.npz paths — directory stats are re-extracted
+    per call, so there is no stable identity to key on)."""
+    if not path.endswith(".npz"):
+        return None
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _SQRT2_CACHE.get(key)
+    if hit is None:
+        _SQRT2_CACHE.clear()
+        hit = _SQRT2_CACHE[key] = _sqrt_psd(sigma2)
+    return hit
+
+
 def frechet_distance_from_samples(acts: np.ndarray, mu2: np.ndarray,
                                   sigma2: np.ndarray) -> float:
     """FID between a SAMPLE of activations (n × d) and reference stats,
@@ -295,20 +332,30 @@ def get_fid(path_data: str, path_pretrained: str) -> float:
 
 
 def frechet_from_acts(acts: np.ndarray, mu2: np.ndarray,
-                      sigma2: np.ndarray) -> float:
+                      sigma2: np.ndarray,
+                      sqrt_sigma2: Optional[np.ndarray] = None) -> float:
     """The host-side half of sample scoring: pool3 activations → FID.
 
     When the sample count is below the feature dimension (the reference's
     per-epoch configuration: 1,000 samples, 2,048-d pool3) the Fréchet
     term is computed in the sample subspace (frechet_distance_from_samples
-    — exact, ~28× faster on this host); otherwise the full-stats path.
-    Split out from get_fid_from_samples so the train loops can run it on a
-    background thread, overlapped with the next epoch's device steps
-    (train/loop.py _maybe_fid_async)."""
+    — exact, ~28× faster on this host); otherwise the full-stats path,
+    where a precomputed ``sqrt_sigma2`` (see cached_sqrt_sigma2) replaces
+    the per-call eigh of Σ₁: tr√(Σ₁Σ₂) = tr√(√Σ₂ Σ₁ √Σ₂), exactly (the
+    two products share eigenvalues). Split out from get_fid_from_samples
+    so the train loops can run it on a background thread, overlapped with
+    the next epoch's device steps (train/loop.py _maybe_fid_async)."""
     if acts.shape[0] < FEATURE_DIM:
         return frechet_distance_from_samples(acts, mu2, sigma2)
     m1, s1 = activation_statistics(acts)
-    return frechet_distance(m1, s1, mu2, sigma2)
+    if sqrt_sigma2 is None:
+        return frechet_distance(m1, s1, mu2, sigma2)
+    diff = np.asarray(m1, np.float64) - np.asarray(mu2, np.float64)
+    inner = sqrt_sigma2 @ np.asarray(s1, np.float64) @ sqrt_sigma2
+    w = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    tr_covmean = float(np.sum(np.sqrt(np.clip(w, 0.0, None))))
+    return float(diff @ diff + np.trace(s1) + np.trace(sigma2)
+                 - 2.0 * tr_covmean)
 
 
 def get_fid_from_samples(samples_pm1: np.ndarray, path_pretrained: str,
@@ -319,7 +366,9 @@ def get_fid_from_samples(samples_pm1: np.ndarray, path_pretrained: str,
     m2, s2 = _handle_path(path_pretrained)
     imgs = per_image_normalize(samples_pm1)
     acts = get_activations(imgs, devices=devices)
-    return frechet_from_acts(acts, m2, s2)
+    sqrt2 = (cached_sqrt_sigma2(path_pretrained, s2)
+             if acts.shape[0] >= FEATURE_DIM else None)
+    return frechet_from_acts(acts, m2, s2, sqrt_sigma2=sqrt2)
 
 
 _pm1_to_u8_jit = jax.jit(lambda b: jnp.clip(

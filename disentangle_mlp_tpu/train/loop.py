@@ -211,7 +211,13 @@ def _maybe_fid_async(cfg: Config, decode_fn: Callable, epoch: int,
         # PNG files first (the sync path wrote them before scoring, so an
         # unwritable samples dir degrades to 'N/A' before any FID exists)
         write_sample_files(u8, epoch, path)
-        return fid_mod.frechet_from_acts(acts, m2, s2)
+        # full-stats path only: √Σ₂ is memoized on the stats file, so the
+        # first epoch pays one extra eigh here (on the worker, off the
+        # epoch's critical path) and every later epoch skips the eigh of
+        # Σ₁ entirely (eval/fid.py cached_sqrt_sigma2)
+        sqrt2 = (fid_mod.cached_sqrt_sigma2(cfg.fid_path_pretrained, s2)
+                 if acts.shape[0] >= fid_mod.FEATURE_DIM else None)
+        return fid_mod.frechet_from_acts(acts, m2, s2, sqrt_sigma2=sqrt2)
 
     future = _fid_pool().submit(job)
 

@@ -96,7 +96,7 @@ def test_async_programming_error_raises_at_resolve(tmp_path, monkeypatch):
     test_error_handling.test_maybe_fid_programming_error_raises."""
     import disentangle_mlp_tpu.eval.fid as fid_mod
 
-    def boom(acts, m2, s2):
+    def boom(acts, m2, s2, sqrt_sigma2=None):
         raise ValueError("deliberate bug in the FID stack")
 
     monkeypatch.setattr(fid_mod, "frechet_from_acts", boom)

@@ -200,3 +200,54 @@ def test_dataset_statistics_device_batches_match_host():
     mu_d, sig_d = compute_dataset_statistics(dev_loader)
     np.testing.assert_allclose(mu_d, mu_h, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(sig_d, sig_h, rtol=1e-5, atol=1e-4)
+
+
+def test_sqrt_sigma2_swapped_product_matches_full():
+    """frechet_from_acts with a precomputed √Σ₂ (the per-epoch full-stats
+    path: tr√(Σ₁Σ₂) = tr√(√Σ₂ Σ₁ √Σ₂)) must equal the plain full-stats
+    computation — the two products share eigenvalues exactly."""
+    import disentangle_mlp_tpu.eval.fid as fid_mod
+    from disentangle_mlp_tpu.eval.fid import _sqrt_psd, frechet_from_acts
+
+    rng = np.random.default_rng(7)
+    d = 48
+    acts = rng.normal(size=(96, d)) @ rng.normal(size=(d, d)) + 0.2
+    ref = rng.normal(size=(300, d)) - 0.1
+    m2, s2 = activation_statistics(ref)
+
+    orig_dim = fid_mod.FEATURE_DIM
+    fid_mod.FEATURE_DIM = d  # force the full-stats branch at toy d
+    try:
+        plain = frechet_from_acts(acts, m2, s2)
+        swapped = frechet_from_acts(acts, m2, s2, sqrt_sigma2=_sqrt_psd(s2))
+    finally:
+        fid_mod.FEATURE_DIM = orig_dim
+    np.testing.assert_allclose(swapped, plain, rtol=1e-6)
+
+
+def test_cached_sqrt_sigma2_memoizes_on_file_identity(tmp_path):
+    """√Σ₂ is computed once per unchanged stats file, recomputed when the
+    file is rebuilt, and skipped (None) for directory stats paths."""
+    from disentangle_mlp_tpu.eval.fid import _sqrt_psd, cached_sqrt_sigma2
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(64, 16))
+    s2 = a.T @ a
+    p = tmp_path / "stats.npz"
+    np.savez(p, mu=np.zeros(16), sigma=s2)
+
+    first = cached_sqrt_sigma2(str(p), s2)
+    np.testing.assert_allclose(first, _sqrt_psd(s2), rtol=1e-12)
+    assert cached_sqrt_sigma2(str(p), s2) is first  # memo hit
+
+    # rebuilt file (different mtime/size) → recompute against the new Σ₂
+    s2b = 2.0 * s2
+    np.savez(p, mu=np.zeros(16), sigma=s2b, pad=np.zeros(3))
+    import os as _os
+    _os.utime(p, ns=(1, 1))
+    second = cached_sqrt_sigma2(str(p), s2b)
+    assert second is not first
+    np.testing.assert_allclose(second, _sqrt_psd(s2b), rtol=1e-12)
+
+    assert cached_sqrt_sigma2(str(tmp_path), s2) is None  # dir path: no key
+    assert cached_sqrt_sigma2(str(tmp_path / "nope.npz"), s2) is None
