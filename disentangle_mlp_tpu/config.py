@@ -141,6 +141,14 @@ class Config:
     # 30+ min (README_PERF). Params/batch_stats always stay float32;
     # restore re-normalizes to the run's --optimizer_dtype either way.
     checkpoint_save_dtype: str = "float32"
+    # Write the per-epoch FID sample PNGs (sample_{i}_{epoch}.png, the
+    # reference's on-disk artifact — utils.py:21-26). True = parity.
+    # False drops ONLY the files (the FID score is computed in memory
+    # either way): at n_samples=2048 the encodes + the uint8 sample pull
+    # cost ~3-5 s of 1-CPU host time per epoch, which sweeps that never
+    # look at intermediate samples (BO inner runs, trajectory benches)
+    # can spend on the next epoch instead.
+    fid_save_samples: bool = True
     # Decoded-image RAM cache for folder datasets ("auto"/"on"/"off"):
     # JPEG decode delivers ~1,300 img/s vs the ~5,200 img/s train step, so
     # epochs 2+ read resized uint8 images from host RAM instead
@@ -274,6 +282,11 @@ def build_arg_parser(description: str = "") -> argparse.ArgumentParser:
     p.add_argument("--disc_feature_dim", type=int, default=d.disc_feature_dim)
 
     p.add_argument("--calc_fid", type=str2bool, default=d.calc_fid)
+    p.add_argument("--fid_save_samples", type=str2bool,
+                   default=d.fid_save_samples,
+                   help="write the per-epoch FID sample PNGs (True = "
+                        "reference parity; False skips only the files, "
+                        "not the score)")
     p.add_argument("--to_train", type=str2bool, default=d.to_train)
     p.add_argument("--test_recons", type=str2bool, default=d.test_recons)
     p.add_argument("--test_samples", type=str2bool, default=d.test_samples)

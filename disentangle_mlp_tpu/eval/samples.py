@@ -52,19 +52,22 @@ def write_sample_files(u8_batch, epoch: int, results_path: str,
 
 def generate_fid_samples(fn: Callable, epoch: int, n_samples: int,
                          n_hidden: int, results_path: str,
-                         rng_seed: int = 0):
+                         rng_seed: int = 0, save: bool = True):
     """Decode n_samples random latents and save one PNG per image
     (utils.py:21-26). Returns the decoded batch so callers can also score
     FID in memory without the disk round-trip — DEVICE-resident when the
     decode ran on device (the on-device scoring path in eval/fid.py then
     never re-uploads the 1000×64×64×3 batch over the tunnel; the host pull
     here feeds only the PNG writes, quantized to uint8 on device first),
-    plain numpy otherwise (lambda fns in tests)."""
+    plain numpy otherwise (lambda fns in tests). ``save=False``
+    (--fid_save_samples False) skips the per-epoch PNG writes — the FID
+    score is unchanged; only the on-disk sample files are dropped."""
     from .fid import normalized_u8
 
     z = _sample_latents(rng_seed, n_samples, n_hidden)
     dev = fn(z)
-    write_sample_files(normalized_u8(dev), epoch, results_path)
+    if save:
+        write_sample_files(normalized_u8(dev), epoch, results_path)
     return dev if isinstance(dev, jax.Array) else np.asarray(dev, np.float32)
 
 

@@ -142,7 +142,7 @@ def _maybe_fid(cfg: Config, decode_fn: Callable, epoch: int, path: str,
     try:
         samples = generate_fid_samples(
             decode_fn, epoch, cfg.n_samples, cfg.n_hidden, path,
-            rng_seed=cfg.seed + epoch)
+            rng_seed=cfg.seed + epoch, save=cfg.fid_save_samples)
         return get_fid_from_samples(samples, cfg.fid_path_pretrained,
                                     devices=devices)
     except ASSET_ERRORS as e:
@@ -202,7 +202,9 @@ def _maybe_fid_async(cfg: Config, decode_fn: Callable, epoch: int,
         dev = decode_fn(z)
         acts = fid_mod.get_activations(
             fid_mod.per_image_normalize(dev), devices=devices)
-        u8 = fid_mod.normalized_u8(dev)  # device compute only; pulled in job
+        # device compute only; pulled in the job (skipped entirely when
+        # --fid_save_samples False: no quantize program, no 25 MB pull)
+        u8 = fid_mod.normalized_u8(dev) if cfg.fid_save_samples else None
     except fid_mod.ASSET_ERRORS as e:
         print(f"[fid] skipped: {e}")
         return _instant_na()
@@ -210,7 +212,8 @@ def _maybe_fid_async(cfg: Config, decode_fn: Callable, epoch: int,
     def job():
         # PNG files first (the sync path wrote them before scoring, so an
         # unwritable samples dir degrades to 'N/A' before any FID exists)
-        write_sample_files(u8, epoch, path)
+        if u8 is not None:
+            write_sample_files(u8, epoch, path)
         # full-stats path only: √Σ₂ is memoized on the stats file, so the
         # first epoch pays one extra eigh here (on the worker, off the
         # epoch's critical path) and every later epoch skips the eigh of

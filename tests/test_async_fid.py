@@ -176,3 +176,28 @@ def test_normalized_u8_device_matches_host():
     dev = np.asarray(normalized_u8(jnp.asarray(batch)))
     assert host.dtype == dev.dtype == np.uint8
     assert np.max(np.abs(host.astype(int) - dev.astype(int))) <= 1
+
+
+@pytest.mark.parametrize("fid_async", [True, False])
+def test_fid_save_samples_off_skips_files_not_score(tmp_path, monkeypatch,
+                                                    fid_async):
+    """--fid_save_samples False drops ONLY the per-epoch sample PNGs — the
+    FID values must be identical to the default — in both scoring modes."""
+    stats = _stats_npz(tmp_path)
+
+    monkeypatch.setattr(loop_mod, "_FID_ASYNC", fid_async)
+    cfg_on = _cfg(tmp_path, f"png_on_{fid_async}",
+                  fid_path_pretrained=stats)
+    run_vae(cfg_on)
+    cfg_off = _cfg(tmp_path, f"png_off_{fid_async}",
+                   fid_path_pretrained=stats, fid_save_samples=False)
+    run_vae(cfg_off)
+
+    on_pngs = list(Path(cfg_on.fid_path_samples).glob("sample_*.png"))
+    off_pngs = list(Path(cfg_off.fid_path_samples).glob("sample_*.png"))
+    assert len(on_pngs) == cfg_on.n_samples * cfg_on.epochs
+    assert off_pngs == []
+
+    fids_on = [r["FID"] for r in _read_log(cfg_on)["output"]]
+    fids_off = [r["FID"] for r in _read_log(cfg_off)["output"]]
+    assert fids_on == fids_off
