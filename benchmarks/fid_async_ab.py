@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--image_root", default=None,
                     help="JPEG ImageFolder tree; switches the feed from "
                          "synthetic to the production folder path")
+    ap.add_argument("--sweep_arm", action="store_true",
+                    help="add a third interleaved arm: async scoring + "
+                         "--fid_save_samples False (the FID-in-the-loop "
+                         "sweep config; per-epoch FID still asserted "
+                         "identical)")
     ap.add_argument("--out", default="FID_ASYNC_AB_r4.json")
     ap.add_argument("--toy", action="store_true",
                     help="toy widths on CPU — validates the harness "
@@ -79,7 +84,7 @@ def main(argv=None):
         data_kw = dict(synthetic_data=True,
                        synthetic_train_size=ns.train_size)
 
-    def cfg(name, epochs):
+    def cfg(name, epochs, **kw):
         return Config(
             name=name, beta=25.0, epochs=epochs,
             batch_size_train=16 if ns.toy else 256,
@@ -87,7 +92,15 @@ def main(argv=None):
             calc_fid=True, checkpoint_every=0,
             fid_path_pretrained=".e2e_runs/fid_async_stats.npz",
             save_path=".e2e_runs/%", log_path=".e2e_runs/%/log",
-            **data_kw, **toy).finalize()
+            **data_kw, **toy, **kw).finalize()
+
+    # mode → (async scoring?, extra cfg). 'sweep' is the FID-in-the-loop
+    # production config: async + --fid_save_samples False (score kept,
+    # per-epoch sample PNGs dropped) — the config BO inner runs and
+    # trajectory benches use.
+    modes = {"async": (True, {}), "inline": (False, {})}
+    if ns.sweep_arm:
+        modes["sweep"] = (True, {"fid_save_samples": False})
 
     class TimedLogger(Logger):
         """Stamp each epoch record's flush time: diffs = epoch cadence
@@ -113,13 +126,13 @@ def main(argv=None):
     loop_mod._FID_ASYNC = True
     run_vaegan(c0)
 
-    walls = {"async": [], "inline": []}
-    steady = {"async": [], "inline": []}
+    walls = {m: [] for m in modes}
+    steady = {m: [] for m in modes}
     curves = {}
     for w in range(ns.windows):
-        for mode in ("async", "inline"):
-            loop_mod._FID_ASYNC = mode == "async"
-            c = cfg(f"fidab_{mode}_{w}", ns.epochs)
+        for mode, (is_async, extra) in modes.items():
+            loop_mod._FID_ASYNC = is_async
+            c = cfg(f"fidab_{mode}_{w}", ns.epochs, **extra)
             lg = TimedLogger(c.log_path, c)
             t0 = time.perf_counter()
             last = run_vaegan(c, logger=lg)
@@ -140,29 +153,33 @@ def main(argv=None):
                   f"{walls[mode][-1] / ns.epochs:.2f} s/epoch run-avg, "
                   f"steady {steady[mode][-1] if steady[mode] else None} "
                   f"(final FID {last['FID']:.3f})", flush=True)
-    assert curves["async"] == curves["inline"], curves
+    for m in modes:
+        assert curves[m] == curves["async"], (m, curves)
 
-    best_a, best_i = min(walls["async"]), min(walls["inline"])
+    best = {m: min(vs) for m, vs in walls.items()}
     report = {
         "train_size": ns.train_size, "n_samples": ns.n_samples,
         "image_root": ns.image_root,
         "epochs_per_run": ns.epochs, "batch": 16 if ns.toy else 256,
         "epoch_wall_s": {k: [round(v / ns.epochs, 2) for v in vs]
                          for k, vs in walls.items()},
-        "best_epoch_wall_s": {"async": round(best_a / ns.epochs, 2),
-                              "inline": round(best_i / ns.epochs, 2)},
+        "best_epoch_wall_s": {m: round(v / ns.epochs, 2)
+                              for m, v in best.items()},
         "steady_epoch_wall_s": {k: [round(v, 2) for v in vs]
                                 for k, vs in steady.items()},
         "best_steady_epoch_wall_s": {
             k: round(min(vs), 2) for k, vs in steady.items() if vs},
-        "img_s_best": {
-            "async": round(ns.train_size * ns.epochs / best_a, 1),
-            "inline": round(ns.train_size * ns.epochs / best_i, 1)},
-        "speedup": round(best_i / best_a, 2),
+        "img_s_best": {m: round(ns.train_size * ns.epochs / v, 1)
+                       for m, v in best.items()},
+        "speedup": round(best["inline"] / best["async"], 2),
         "steady_speedup": (round(min(steady["inline"])
                                  / min(steady["async"]), 2)
                            if steady["async"] and steady["inline"]
                            else None),
+        "sweep_steady_speedup": (round(min(steady["inline"])
+                                       / min(steady["sweep"]), 2)
+                                 if steady.get("sweep") and steady["inline"]
+                                 else None),
         "fid_curve": curves["async"],
         "final_fid": curves["async"][-1],
         "note": "interleaved in-process windows, warm programs + stats; "
@@ -177,7 +194,9 @@ def main(argv=None):
     print(json.dumps(report["best_epoch_wall_s"]
                      | {"speedup": report["speedup"],
                         "steady": report["best_steady_epoch_wall_s"],
-                        "steady_speedup": report["steady_speedup"]}))
+                        "steady_speedup": report["steady_speedup"],
+                        "sweep_steady_speedup":
+                            report["sweep_steady_speedup"]}))
     print(f"report → {ns.out}")
 
 
