@@ -159,33 +159,42 @@ def baseline_images_per_sec() -> float:
     return rate
 
 
-def tpu_reachable(timeout_s: int = 900) -> bool:
+def tpu_reachable(timeout_s: int = 900, attempts: int = 2) -> bool:
     """Bounded reachability probe in a subprocess. The axon tunnel has been
     observed DOWN for hours (round 4): in-process backend init then hangs
     ~35 min before raising UNAVAILABLE, which would leave this script's
     caller with a dead wait and a raw traceback instead of a diagnosis.
     A trivial device op needs no real compile, so a generous timeout still
-    fails an order of magnitude faster than the hang. DMT_BENCH_PROBE=0
-    skips the probe (one extra process startup when the chip is up)."""
+    fails an order of magnitude faster than the hang. One retry: a single
+    slow backend-init window (tunnel flake, or a busy host slowing the
+    probe process itself — observed on a cold VM with a concurrent pytest
+    run, round 4) must not abort a bench whose chip is actually fine.
+    DMT_BENCH_PROBE=0 skips the probe (one extra process startup when the
+    chip is up)."""
     import subprocess
     if os.environ.get("DMT_BENCH_PROBE", "1") == "0":
         return True
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 8)).sum()))"
-    proc = subprocess.Popen([sys.executable, "-c", code],
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    try:
-        return proc.wait(timeout=timeout_s) == 0
-    except subprocess.TimeoutExpired:
-        # SIGTERM, never SIGKILL: a kill -9'd TPU process leaves a dead
-        # chip claim that wedges the tunnel for many minutes (CLAUDE.md);
-        # subprocess.run's TimeoutExpired path would SIGKILL
-        proc.terminate()
+    for attempt in range(attempts):
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
         try:
-            proc.wait(timeout=60)
+            if proc.wait(timeout=timeout_s) == 0:
+                return True
         except subprocess.TimeoutExpired:
-            pass  # leave it to exit on its own rather than kill -9
-        return False
+            # SIGTERM, never SIGKILL: a kill -9'd TPU process leaves a dead
+            # chip claim that wedges the tunnel for many minutes (CLAUDE.md);
+            # subprocess.run's TimeoutExpired path would SIGKILL
+            proc.terminate()
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                pass  # leave it to exit on its own rather than kill -9
+        if attempt + 1 < attempts:
+            print(f"bench.py: probe attempt {attempt + 1} failed; retrying",
+                  file=sys.stderr)
+    return False
 
 
 def main() -> None:
