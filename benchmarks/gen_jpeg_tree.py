@@ -1,16 +1,35 @@
-"""Generate a CelebA-shaped JPEG tree for the decode-warmup A/B.
+"""Generate a CelebA-shaped JPEG tree for folder-path harnesses.
 
 The decode A/B (benchmarks/decode_warm_ab.py) needs a real folder of
 JPEGs large enough that epoch-1 decode is the bottleneck. CelebA images
 are 178x218 JPEGs (reference dataloader/dataset.py resizes them to 64);
-we synthesize smooth low-frequency textures so libjpeg does realistic
-work (white noise compresses pathologically and decodes unrealistically
-fast).
+we synthesize smooth textures so libjpeg does realistic work (white noise
+compresses pathologically and decodes unrealistically fast).
+
+Two content bases:
+
+- ``--basis block8`` (legacy, the round-4 tree): 8×-downsampled uint8
+  noise bilinearly upsampled. Realistic for DECODE-cost work, but after
+  the training transform (resize 218→64) its correlation length is only
+  ~2.3 px — far sharper than the σ=6 low-frequency basis that the
+  round-4 destabilization study proved necessary for a LEARNABLE
+  synthetic task (data/pipeline.py SyntheticSource docstring). Training
+  QUALITY runs on this tree partially reproduce the posterior-collapse
+  signature (E2E_FOLDER_r4b.json: Eec floors ~1700 and rises, FID
+  bounces) — use it only for decode/feed benchmarks.
+- ``--basis lf``: the SyntheticSource 16-coefficient σ=6 FFT-blurred
+  basis itself, rendered at 64×64, bilinearly upsampled to CelebA shape
+  and JPEG-encoded. After the training transform this matches (up to
+  resize/JPEG loss) the in-memory synthetic stream that passes the
+  reproduce gates (REPRODUCTION_SYNTH_r4.json) — the tree for
+  quality-gated folder E2Es (VERDICT r4 #2).
 
 ImageFolderSource mirrors torchvision's ImageFolder (one subdirectory per
 class), so the images land under ``<out>/c0/``.
 
     python -m benchmarks.gen_jpeg_tree --out /tmp/ab_imgs/train --n 20000
+    python -m benchmarks.gen_jpeg_tree --out /tmp/lf_imgs/train \
+        --n 20000 --basis lf
 """
 
 from __future__ import annotations
@@ -29,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=20000)
     ap.add_argument("--width", type=int, default=178)
     ap.add_argument("--height", type=int, default=218)
+    ap.add_argument("--basis", choices=["block8", "lf"], default="block8",
+                    help="block8: legacy decode-benchmark texture; "
+                         "lf: SyntheticSource's learnable σ=6 basis "
+                         "(use for quality-gated training E2Es)")
     ns = ap.parse_args(argv)
 
     out = os.path.join(ns.out, "c0")  # ImageFolder-style class subdir
@@ -43,12 +66,25 @@ def main(argv=None):
         print(f"already {ns.n} images at {out}; nothing to do")
         return
 
-    # Low-res noise upsampled = smooth image-like content, cheap to make.
+    lf_source = None
+    if ns.basis == "lf":
+        # Render the exact in-memory synthetic distribution that passes
+        # the reproduce gates; index i here = source index i, so the tree
+        # is deterministic and hole-fillable like the block8 path.
+        from disentangle_mlp_tpu.data.pipeline import SyntheticSource
+        lf_source = SyntheticSource(size=ns.n, img_size=64, seed=0)
+
     t0 = time.time()
     for k, i in enumerate(missing):
-        rng = np.random.default_rng(i)
-        small = rng.integers(0, 256, size=(ns.height // 8, ns.width // 8, 3),
-                             dtype=np.uint8)
+        if lf_source is not None:
+            x = lf_source._materialize(np.array([i]))[0]  # 64×64×3 ∈ [-1,1]
+            small = ((x + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        else:
+            # Low-res noise upsampled = smooth content, cheap to make.
+            rng = np.random.default_rng(i)
+            small = rng.integers(0, 256,
+                                 size=(ns.height // 8, ns.width // 8, 3),
+                                 dtype=np.uint8)
         img = Image.fromarray(small).resize((ns.width, ns.height),
                                             Image.BILINEAR)
         img.save(os.path.join(out, f"{i:06d}.jpg"), quality=90)
