@@ -55,10 +55,17 @@ def family_args(family: str, ns) -> list:
 
 
 def read_losses(run_dir: str) -> list:
-    logs = sorted(glob.glob(f"{run_dir}/log/log_*.json"),
-                  key=os.path.getmtime)
-    with open(logs[-1]) as f:
-        return [e["Avg Loss"] for e in json.load(f)["output"]]
+    """Concatenate ALL the run's logs chronologically: each cli.train
+    process writes its own timestamped log file (reference logger.py
+    one-file-per-run semantics), so after the resume leg the trajectory
+    spans two files — gating on only the newest would score the 2-epoch
+    resumed tail as if it were the whole curve."""
+    losses = []
+    for path in sorted(glob.glob(f"{run_dir}/log/log_*.json"),
+                       key=os.path.getmtime):
+        with open(path) as f:
+            losses.extend(e["Avg Loss"] for e in json.load(f)["output"])
+    return losses
 
 
 def run_cli(args: list) -> float:
@@ -74,6 +81,9 @@ def run_cli(args: list) -> float:
 def run_family_traj(family: str, ns) -> dict:
     name = f"traj_{family}"
     run_dir = f"{RUN_ROOT}/{name}"
+    if os.path.isdir(run_dir):  # stale logs would pollute the curve concat
+        import shutil
+        shutil.rmtree(run_dir)
     base = family_args(family, ns)
 
     wall = run_cli(base + ["--name", name, "--epochs", str(ns.epochs)])
@@ -81,6 +91,14 @@ def run_family_traj(family: str, ns) -> dict:
 
     ckpts = sorted(glob.glob(f"{run_dir}/models/model_*"),
                    key=lambda p: int(p.rsplit("_", 1)[1]))
+    # Staleness guard: the newest checkpoint must be the one THIS leg just
+    # wrote. A concurrent/earlier run sharing the dir (observed r5: a
+    # double-launched harness) would otherwise feed the resume leg a
+    # foreign checkpoint and silently no-op it (start_epoch >= epochs).
+    if os.path.basename(ckpts[-1]) != f"model_{ns.epochs}":
+        raise SystemExit(
+            f"{run_dir}: newest checkpoint {ckpts[-1]} != model_"
+            f"{ns.epochs} — another process wrote here; aborting")
     resume_wall = run_cli(base + [
         "--name", name, "--epochs", str(ns.epochs + ns.resume_epochs),
         "--load_path", ckpts[-1]])
