@@ -163,8 +163,10 @@ def main(argv=None):
         "host_load": finish(idle),
         "contaminated": idle["contaminated"],
         "arms": arms,
-        "gates_pass": all(a.get("curve_ok") and a.get("eec_ok")
-                          for a in arms),
+        # per-arm verdicts — an aggregate bool would misread matrices
+        # that INTEND a failing control arm (e.g. the block8 tree)
+        "gates": {a["label"]: bool(a.get("curve_ok") and a.get("eec_ok"))
+                  for a in arms},
         "note": "real CLI on JPEG ImageFolder tree(s); round-4 production "
                 "levers engaged (decode warmup, u8 stacked feed, per-epoch "
                 "async FID vs folder stats, async bf16-moment checkpoints "
@@ -173,7 +175,7 @@ def main(argv=None):
     }
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=2, default=float)
-    print(json.dumps({"gates_pass": report["gates_pass"],
+    print(json.dumps({"gates": report["gates"],
                       "arms": [{a["label"]: {"curve_ok": a.get("curve_ok"),
                                              "eec_ok": a.get("eec_ok"),
                                              "eec_ratio": a.get("eec_ratio")}}

@@ -8,9 +8,11 @@ on synthetic data for ``--epochs`` epochs, then RESUMES from the last
 rotated checkpoint for ``--resume_epochs`` more — so checkpoint
 write/restore is exercised on the same surface. Gate per family:
 
-  - ``loss_ok``: Avg Loss declines to < ``gate_ratio`` (default 0.8) of
-    the first epoch's, and the resumed leg's final loss is <= the
-    pre-resume final (training continued, not restarted);
+  - ``loss_ok``: the RECON component ("Avg Recon Loss" — the quantity
+    that must fall when the autoencoder learns; the total EG loss floors
+    at the adversarial+KLD equilibrium) declines to < ``gate_ratio``
+    (default 0.8) of the first epoch's, and the resumed leg continues
+    below the pre-resume final (continued, not restarted);
   - families have no eval sweep by design (celebA-only —
     train/loop.py::run_family raises on multi --load_path); the resume
     leg stands in for the sweep's checkpoint-consumption role.
@@ -54,18 +56,22 @@ def family_args(family: str, ns) -> list:
     raise ValueError(family)
 
 
-def read_losses(run_dir: str) -> list:
+def read_losses(run_dir: str) -> dict:
     """Concatenate ALL the run's logs chronologically: each cli.train
     process writes its own timestamped log file (reference logger.py
     one-file-per-run semantics), so after the resume leg the trajectory
     spans two files — gating on only the newest would score the 2-epoch
-    resumed tail as if it were the whole curve."""
-    losses = []
+    resumed tail as if it were the whole curve. Returns both the total
+    EG loss curve and the recon component (the gated quantity: the total
+    carries an irreducible adversarial+KLD floor at equilibrium)."""
+    total, recon = [], []
     for path in sorted(glob.glob(f"{run_dir}/log/log_*.json"),
                        key=os.path.getmtime):
         with open(path) as f:
-            losses.extend(e["Avg Loss"] for e in json.load(f)["output"])
-    return losses
+            for e in json.load(f)["output"]:
+                total.append(e["Avg Loss"])
+                recon.append(e["Avg Recon Loss"])
+    return {"total": total, "recon": recon}
 
 
 def run_cli(args: list) -> float:
@@ -87,7 +93,7 @@ def run_family_traj(family: str, ns) -> dict:
     base = family_args(family, ns)
 
     wall = run_cli(base + ["--name", name, "--epochs", str(ns.epochs)])
-    losses_pre = read_losses(run_dir)
+    pre = read_losses(run_dir)
 
     ckpts = sorted(glob.glob(f"{run_dir}/models/model_*"),
                    key=lambda p: int(p.rsplit("_", 1)[1]))
@@ -104,24 +110,29 @@ def run_family_traj(family: str, ns) -> dict:
         "--load_path", ckpts[-1]])
     losses = read_losses(run_dir)  # same log file, appended
 
+    recon, total = losses["recon"], losses["total"]
     rec = {
         "family": family,
         "epochs": ns.epochs, "resume_epochs": ns.resume_epochs,
         "train_size": ns.train_size,
         "data": "synthetic",  # forced above; no MNIST idx files on host
-        "loss_curve": losses,
-        "loss_ratio": losses[-1] / losses[0],
-        "loss_ok": bool(losses[-1] < ns.gate_ratio * losses[0]),
-        "resume_continued": bool(losses[-1] <= losses_pre[-1] * 1.05),
+        "loss_curve": total,
+        "recon_curve": recon,
+        "loss_ratio": total[-1] / total[0],
+        "recon_ratio": recon[-1] / recon[0],
+        # gate the recon component: it MUST fall if the autoencoder
+        # learns, while the total floors at the adversarial equilibrium
+        "loss_ok": bool(recon[-1] < ns.gate_ratio * recon[0]),
+        "resume_continued": bool(recon[-1] <= pre["recon"][-1] * 1.05),
         "resumed_from": os.path.basename(ckpts[-1]),
         "checkpoints_kept": [os.path.basename(c) for c in sorted(
             glob.glob(f"{run_dir}/models/model_*"))],
         "train_wall_s": round(wall, 1),
         "resume_wall_s": round(resume_wall, 1),
     }
-    print(f"[family_traj] {family}: ratio={rec['loss_ratio']:.3f} "
-          f"loss_ok={rec['loss_ok']} resume_continued="
-          f"{rec['resume_continued']}", flush=True)
+    print(f"[family_traj] {family}: recon_ratio={rec['recon_ratio']:.3f} "
+          f"(total {rec['loss_ratio']:.3f}) loss_ok={rec['loss_ok']} "
+          f"resume_continued={rec['resume_continued']}", flush=True)
     return rec
 
 

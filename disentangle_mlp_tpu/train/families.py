@@ -167,10 +167,16 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
                 eg_params, eg_state.batch_stats, batch, rng_eps)
             (l_recon, _), d_mut = d_apply(
                 d_state.params, d_state.batch_stats, recon)
-            loss = (jnp.sum(kld_ps) + reconstruction_loss(recon, batch)
+            recon_l = reconstruction_loss(recon, batch)
+            loss = (jnp.sum(kld_ps) + recon_l
                     + bce_logits(l_recon, labels["real"]))
+            # recon reported separately: the total carries an irreducible
+            # adversarial(+KLD) floor at equilibrium, so trajectory gates
+            # (benchmarks/family_traj.py) watch the component that MUST
+            # fall when the autoencoder learns
             return loss, {"eg_stats": mut["batch_stats"],
-                          "d_stats": d_mut["batch_stats"]}
+                          "d_stats": d_mut["batch_stats"],
+                          "recon": recon_l}
         (eg_loss, eg_aux), eg_grads = jax.value_and_grad(
             eg_loss_fn, has_aux=True)(eg_state.params)
         eg_state = apply_updates(eg_state, eg_grads, tx_eg,
@@ -178,6 +184,7 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
         d_state = d_state.replace(batch_stats=eg_aux["d_stats"])
 
         return eg_state, d_state, {"loss": eg_loss, "errD": d_loss,
+                                   "recon": eg_aux["recon"],
                                    "D_x": d_aux["D_x"]}
 
     def decode(eg_state: ModelState, z: jax.Array) -> jax.Array:

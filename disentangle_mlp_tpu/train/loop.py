@@ -605,14 +605,17 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
         for epoch in range(start_epoch, cfg.epochs):
             meter.resume()
             step_rng = jax.random.fold_in(rng, epoch)
-            total = None
+            total = total_recon = None
             for i, (x, _) in enumerate(train_loader):
                 exp.eg_state, exp.d_state, m = exp.train_step(
                     exp.eg_state, exp.d_state, x,
                     jax.random.fold_in(step_rng, i))
                 total = m["loss"] if total is None else total + m["loss"]
+                total_recon = (m["recon"] if total_recon is None
+                               else total_recon + m["recon"])
                 meter.add(x.shape[0])
             avg_loss = float(total) / train_loader.dataset_size
+            avg_recon = float(total_recon) / train_loader.dataset_size
             meter.pause()
             if _ckpt_due(cfg, epoch):
                 ckpt.save(f"{cfg.model_path}/model_{epoch + 1}", epoch + 1,
@@ -620,13 +623,18 @@ def run_family(cfg: Config, logger: Optional[Logger] = None) -> Dict:
                           rotate_keep=cfg.keep_checkpoints)
             # FID needs 3-channel samples and z_dim == n_hidden; only the
             # birds generator satisfies both.
+            # "Avg Recon Loss" is family-only (no reference schema exists —
+            # the reference never ran these models, SURVEY C8/C9); the
+            # celebA experiments' logged keys stay reference-exact
             emitter.emit(
                 _maybe_fid_async(cfg, decode_fn, epoch, cfg.fid_path_samples)
                 if cfg.dataset == "birds" else _instant_na(),
-                lambda fid, e=epoch, a=avg_loss: {
-                    "Epoch": e, "Avg Loss": a, "FID": fid},
+                lambda fid, e=epoch, a=avg_loss, r=avg_recon: {
+                    "Epoch": e, "Avg Loss": a, "Avg Recon Loss": r,
+                    "FID": fid},
                 f"====> Epoch: {epoch} Average loss: {avg_loss:.4f} "
-                f"FID: {{fid}} ({meter.rate():.1f} img/s)")
+                f"(recon {avg_recon:.4f}) FID: {{fid}} "
+                f"({meter.rate():.1f} img/s)")
     last = emitter.finish()
 
     ckpt.wait()

@@ -100,6 +100,9 @@ def test_mnist_train_step_smoke():
     eg, d, m = exp.train_step(exp.eg_state, exp.d_state, x, jax.random.key(1))
     for k, v in m.items():
         assert bool(jnp.isfinite(v)), k
+    # the separately-reported recon component (family trajectory gate,
+    # benchmarks/family_traj.py) is a strict part of the total EG loss
+    assert "recon" in m and float(m["recon"]) < float(m["loss"])
     assert exp.z_dim == 7 * 7 * 4
     samples = exp.decode(eg, jax.random.normal(jax.random.key(2), (2, exp.z_dim)))
     assert samples.shape == (2, 28, 28, 1)
