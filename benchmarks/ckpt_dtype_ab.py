@@ -32,6 +32,13 @@ def main(argv=None):
     ap.add_argument("--out", default="CKPT_DTYPE_AB_r4.json")
     ns = ap.parse_args(argv)
 
+    # host-idleness guard (VERDICT r4 #7): on this 1-CPU host a
+    # concurrent heavy process invalidates interleaved A/Bs (ROUND4.md);
+    # DMT_LOAD_LIMIT overrides the threshold if a stamped-but-contested
+    # run is explicitly wanted.
+    from benchmarks.hostcheck import host_idle_check
+    idle = host_idle_check(refuse=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +83,7 @@ def main(argv=None):
     resumed = float(m2["recon_enc"])
 
     report = {
+        "host_load": idle,
         "state_bytes_f32": sizes["float32"],
         "state_bytes_bf16": sizes["bfloat16"],
         "size_ratio": sizes["bfloat16"] / sizes["float32"],

@@ -87,6 +87,13 @@ def main(argv=None):
     ap.add_argument("--out", default="DECODE_WARM_AB_r4.json")
     ns = ap.parse_args(argv)
 
+    # host-idleness guard (VERDICT r4 #7): on this 1-CPU host a
+    # concurrent heavy process invalidates interleaved A/Bs (ROUND4.md);
+    # DMT_LOAD_LIMIT overrides the threshold if a stamped-but-contested
+    # run is explicitly wanted.
+    from benchmarks.hostcheck import host_idle_check
+    idle = host_idle_check(refuse=True)
+
     runs = []
     for r in range(ns.repeats):
         for warm in (False, True):
@@ -101,6 +108,7 @@ def main(argv=None):
     off = [r["epoch0_img_s"] for r in runs
            if not r["warm"] and r["epoch0_img_s"]]
     report = {
+        "host_load": idle,
         "image_root": ns.image_root,
         "n_images": sum(len(fs) for _, _, fs in os.walk(ns.image_root)),
         "batch": ns.batch,

@@ -56,6 +56,13 @@ def main(argv=None):
                          "end-to-end without the chip")
     ns = ap.parse_args(argv)
 
+    # host-idleness guard (VERDICT r4 #7): on this 1-CPU host a
+    # concurrent heavy process invalidates interleaved A/Bs (ROUND4.md);
+    # DMT_LOAD_LIMIT overrides the threshold if a stamped-but-contested
+    # run is explicitly wanted.
+    from benchmarks.hostcheck import host_idle_check
+    idle = host_idle_check(refuse=True)
+
     toy = {}
     if ns.toy:
         import jax
@@ -158,6 +165,7 @@ def main(argv=None):
 
     best = {m: min(vs) for m, vs in walls.items()}
     report = {
+        "host_load": idle,
         "train_size": ns.train_size, "n_samples": ns.n_samples,
         "image_root": ns.image_root,
         "epochs_per_run": ns.epochs, "batch": 16 if ns.toy else 256,

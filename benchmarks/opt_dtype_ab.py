@@ -17,13 +17,44 @@ Run from the repo root (NO PYTHONPATH — it breaks axon plugin registration):
 from __future__ import annotations
 
 import json
+import statistics
+
+
+def measure_rates(windows: int = 3) -> dict:
+    """The four flagship variants, interleaved windows, via bench.py's
+    round-5 builders (the old single-shot tpu_images_per_sec was replaced
+    by bench's incremental-emission structure)."""
+    from disentangle_mlp_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    batches = jax.random.uniform(
+        jax.random.key(100), (bench.TIMED_STEPS, bench.BATCH, 64, 64, 3),
+        jnp.float32, -1.0, 1.0)
+    runs = {}
+    for key in ("observed", "intent", "observed_opt_bf16",
+                "intent_opt_bf16"):
+        runs[key] = bench._build_variant(key, batches)
+        runs[key]["batches"] = batches
+    for w in range(windows):
+        bench._time_window(runs, seed=w + 1)
+    return {k: {"best": max(r["rates"]),
+                "median": statistics.median(r["rates"])}
+            for k, r in runs.items()}
 
 
 def main() -> None:
-    from bench import BATCH, tpu_images_per_sec
+    # host-idleness guard (VERDICT r4 #7): contention invalidates the A/B
+    from benchmarks.hostcheck import host_idle_check
+    idle = host_idle_check(refuse=True)
 
-    rates = tpu_images_per_sec()
-    out = {}
+    from bench import BATCH
+
+    rates = measure_rates()
+    out = {"host_load": idle}
     for key in ("observed", "intent", "observed_opt_bf16",
                 "intent_opt_bf16"):
         r = rates[key]

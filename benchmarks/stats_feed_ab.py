@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--out", default="STATS_FEED_AB_r4.json")
     ns = ap.parse_args(argv)
 
+    # host-idleness guard (VERDICT r4 #7): on this 1-CPU host a
+    # concurrent heavy process invalidates interleaved A/Bs (ROUND4.md);
+    # DMT_LOAD_LIMIT overrides the threshold if a stamped-but-contested
+    # run is explicitly wanted.
+    from benchmarks.hostcheck import host_idle_check
+    idle = host_idle_check(refuse=True)
+
     from disentangle_mlp_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -68,6 +75,7 @@ def main(argv=None):
 
     best_d, best_h = min(windows["device"]), min(windows["host_roundtrip"])
     report = {
+        "host_load": idle,
         "image_root": ns.image_root, "n_images": ns.n_images,
         "batch": ns.batch,
         "wall_s": {k: [round(v, 2) for v in vs] for k, vs in windows.items()},
