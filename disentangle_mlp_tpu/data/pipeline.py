@@ -402,11 +402,25 @@ class SyntheticSource:
 
     def __init__(self, size: int = 4096, img_size: int = 64,
                  channels: int = 3, seed: int = 0,
-                 basis_sigma: Optional[float] = None):
+                 basis_sigma: Optional[float] = None,
+                 normalize: Tuple = ((0.5,), (0.5,))):
         self.size = size
         self.img_size = img_size
         self.channels = channels
         self.seed = seed
+        # Target range for the emitted images, as a renormalize_pm1
+        # affine over the tanh output. The default (0.5, 0.5) is the
+        # identity → [-1, 1], which IS celebA's real post-transform range
+        # (Normalize(.5,.5); the flagship synthetic stream stays
+        # bit-exact) and the birds/celebA generators' Tanh canvas. mnist
+        # passes (0, 1) → [0, 1], its generator's sigmoid canvas: with
+        # [-1,1] targets half the mass was unreachable and the recon
+        # loss floored ~0.9 (round-5 family trajectory study). The
+        # reference pairs its family Normalize constants and output
+        # nonlinearities inconsistently and never trained these models
+        # (SURVEY C8/C9) — the synthetic fallback targets the reachable
+        # range so trajectories measure learning, not an inherited floor.
+        self.normalize = normalize
         # Low-frequency basis so images have image-like statistics.
         #
         # The blur is ESSENTIAL, not cosmetic (round-4 destabilization
@@ -472,7 +486,8 @@ class SyntheticSource:
 
     def _materialize(self, idx: np.ndarray) -> np.ndarray:
         coeff = self._hash_normal(idx, np.arange(16), self.seed) / 4.0
-        return np.tanh(np.tensordot(coeff, self._basis, axes=1)).astype(np.float32)
+        pm1 = np.tanh(np.tensordot(coeff, self._basis, axes=1)).astype(np.float32)
+        return renormalize_pm1(pm1, *self.normalize)
 
     def load_batch(self, indices: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         idx = np.asarray(indices, np.int64)
@@ -823,7 +838,8 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
     normalization constants are applied (dataset.py:9-11)."""
 
     def make(root: str, batch: int, shuffle: bool, split_seed: int,
-             normalize=NORMALIZE["celebA"], source_cls=None):
+             normalize=NORMALIZE["celebA"], source_cls=None,
+             synth_normalize=((0.5,), (0.5,))):
         use_synth = bool(getattr(opt, "synthetic_data", False)) or not os.path.isdir(root)
         if not use_synth and source_cls is MNISTSource:
             use_synth = find_mnist_files(root) is None
@@ -835,7 +851,8 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
             src = SyntheticSource(size=n, img_size=opt.img_size,
                                   channels=opt.input_channels,
                                   seed=opt.seed + split_seed,
-                                  basis_sigma=None if sig < 0 else sig)
+                                  basis_sigma=None if sig < 0 else sig,
+                                  normalize=synth_normalize)
         elif source_cls is MNISTSource:
             src = MNISTSource(root, img_size=opt.img_size)
         else:
@@ -865,7 +882,11 @@ def get_data_loader(opt, sharding: Optional[jax.sharding.Sharding] = None):
                      normalize=NORMALIZE["birds"])
         return train, None, None
     if opt.dataset == "mnist":
+        # synth_normalize (0,1) → [0,1], the mnist generator's sigmoid
+        # canvas (see SyntheticSource); real idx data keeps MNISTSource's
+        # own reference-exact constants
         train = make(opt.image_root_train, opt.batch_size_train, True, 0,
-                     source_cls=MNISTSource)
+                     source_cls=MNISTSource,
+                     synth_normalize=((0.0,), (1.0,)))
         return train, None, None
     raise ValueError(f"unknown dataset {opt.dataset!r}")
