@@ -45,14 +45,21 @@ def family_args(family: str, ns) -> list:
         "--calc_fid", "False",
         "--checkpoint_every", "2", "--keep_checkpoints", "2",
         "--save_path", f"{RUN_ROOT}/%", "--log_path", f"{RUN_ROOT}/%/log",
-        "--lr", "3e-4",
     ]
     if family == "birds":
-        # the birds ladders are hard-wired to 128×128 (models/birds.py)
-        return common + ["--img_size", "128", "--batch_size_train", "64"]
+        # the birds ladders are hard-wired to 128×128 (models/birds.py);
+        # β=1 = the original unweighted Σ-KLD (trains cleanly here)
+        return common + ["--img_size", "128", "--batch_size_train", "64",
+                         "--beta", "1", "--lr", "3e-4"]
     if family == "mnist":
+        # the mnist family couples 196 latent dims to 784 recon dims, so
+        # unweighted KLD pins it at the predict-mean floor; β=0.1 and the
+        # small-model lr restore a healthy recon trajectory (train/
+        # families.py docstring; CPU grid: β0.1/lr1e-3 → recon 80→45 in
+        # 150 single-batch steps vs flat at β1/lr3e-4)
         return common + ["--img_size", "28", "--input_channels", "1",
-                         "--batch_size_train", "128"]
+                         "--batch_size_train", "128",
+                         "--beta", "0.1", "--lr", "1e-3"]
     raise ValueError(family)
 
 

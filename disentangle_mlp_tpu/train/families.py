@@ -7,10 +7,15 @@ gets a real, jitted VAE-GAN training step over the real per-dataset
 transforms (data/pipeline.py):
 
 per batch: (1) D step — BCE(D(x), real) + BCE(D(G(z~N(0,1))), fake);
-(2) EG step — Σ KLD + Σ(x̂−x)² + BCE(D(x̂), real), where (z, kld) = E(x)
-and x̂ = G(z). One Adam per network, same three-loss shape as the flagship
-β-VAE-GAN but single-phase per network (smoke-level: the reference never
-published behaviour to match).
+(2) EG step — β·Σ KLD + Σ(x̂−x)² + BCE(D(x̂), real), where (z, kld) =
+E(x) and x̂ = G(z). One Adam per network, same three-loss shape as the
+flagship β-VAE-GAN but single-phase per network (the reference never
+published behaviour to match). β = cfg.beta, the same knob the flagship
+weights its KLD with: it matters structurally here because the mnist
+family couples 196 latent dims to only 784 recon dims (1:4, vs the
+flagship's 128:12288 ≈ 1:96), so unweighted Σ-KLD overpowers the
+reachable recon gain and the model sits at the predict-the-mean floor
+(round-5 trajectory study; β≈0.1 trains, β=1 collapses).
 
 For birds, a torchvision resnet18 checkpoint (``cfg.resnet18_ckpt``) is
 converted and loaded into the encoder when present — the reference uses
@@ -168,7 +173,7 @@ def create_family_experiment(cfg: Config, rng: jax.Array) -> FamilyExperiment:
             (l_recon, _), d_mut = d_apply(
                 d_state.params, d_state.batch_stats, recon)
             recon_l = reconstruction_loss(recon, batch)
-            loss = (jnp.sum(kld_ps) + recon_l
+            loss = (cfg.beta * jnp.sum(kld_ps) + recon_l
                     + bce_logits(l_recon, labels["real"]))
             # recon reported separately: the total carries an irreducible
             # adversarial(+KLD) floor at equilibrium, so trajectory gates
