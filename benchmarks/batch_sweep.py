@@ -16,13 +16,17 @@ configuration — Report Table 3 chose 256 to cut DataParallel transfer
 frequency, SURVEY.md §2.2); this artifact settles whether the chip has
 unclaimed MFU at larger batch.
 
-Achieved-TFLOP attribution: XLA ``cost_analysis()`` FLOPs of the
-single-step program per (batch, mode), divided by the per-step wall.
-NOTE the cost model counts the dilated-ConvT zero-MACs (~4× on those
-ops), so ``tflops_naive`` overstates useful FLOPs exactly as
-OP_PROFILE_r4/README_PERF describe — comparable across batch sizes,
-not a datasheet-MFU claim. An OOM at a size is recorded as an outcome,
-not a crash.
+Achieved-TFLOP attribution (observed mode): the step's FLOPs are conv-
+dominated and exactly linear in batch, so flops(b) = 4.96 TFLOP × b/256
+— the XLA ``cost_analysis`` number banked for the b256 observed step
+(OP_PROFILE_r4.json). Per-config cost_analysis compiles were measured
+at ~5 min each cold over the tunnel (8 extra compiles) and dropped for
+the analytic scaling. NOTE the 4.96 counts the dilated-ConvT zero-MACs
+(~4× on those ops), so ``tflops_naive`` overstates useful FLOPs exactly
+as README_PERF describes — comparable across batch sizes, not a
+datasheet-MFU claim; intent-mode rows carry no TFLOP column (the frozen
+sub-network's skipped backwards make its FLOP count mode-specific). An
+OOM at a size is recorded as an outcome, not a crash.
 
     python -m benchmarks.batch_sweep --out BATCH_SWEEP_r5.json
 """
@@ -37,15 +41,16 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# XLA cost_analysis FLOPs of the observed-mode single step at batch 256
+# (OP_PROFILE_r4.json; naive — counts dilated-ConvT zero-MACs)
+OBSERVED_B256_FLOPS = 4.96e12
+
 
 def _measure_size(b: int, modes, ns, probes, bench) -> tuple:
     """Build both modes at batch ``b``, run interleaved windows, free
     everything. Returns (per-mode result rows, per-window probe dicts)."""
     import jax
     import jax.numpy as jnp
-
-    from disentangle_mlp_tpu.config import Config
-    from disentangle_mlp_tpu.train.vaegan import create_vaegan_experiment
 
     data = jax.random.uniform(
         jax.random.key(100 + b), (ns.steps, b, 64, 64, 3),
@@ -58,22 +63,16 @@ def _measure_size(b: int, modes, ns, probes, bench) -> tuple:
         print(f"[batch_sweep] building {key}", flush=True)
         t0 = time.perf_counter()
         r = bench._build_variant(mode, data, batch=b)
-        r["batch"], r["steps"] = b, ns.steps
+        r["batch"], r["steps"], r["batches"] = b, ns.steps, data
         runs[key] = r
         print(f"[batch_sweep] {key} ready in "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
-        # single-step FLOP estimate for TF/s attribution (cached compile;
-        # naive count — see module docstring). Fresh experiment states are
-        # needed only for tracing shapes; freed with the loop scope.
-        cfg = Config(name=f"sweep_{key}", beta=25.0, batch_size_train=b,
-                     dtype="bfloat16", lr=3e-4, freeze_mode=mode)
-        exp = create_vaegan_experiment(cfg, jax.random.key(0))
-        cost = jax.jit(exp.step_fn).lower(
-            exp.eg_state, exp.d_state, data[0],
-            jax.random.key(0)).compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops[key] = float(cost.get("flops", 0.0))
-        del exp, cost
+        if mode == "observed":
+            # analytic: conv-dominated step, FLOPs linear in batch,
+            # anchored on OP_PROFILE_r4's cost_analysis at b256 (per-
+            # config cost_analysis compiles ran ~5 min each cold over
+            # the tunnel and were dropped — module docstring)
+            flops[key] = OBSERVED_B256_FLOPS * b / 256.0
 
     probe_rows = []
     for w in range(ns.windows):
