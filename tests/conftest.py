@@ -49,6 +49,39 @@ SLOW_TESTS = {
     "test_fid_detects_distribution_shift",                      # 13 s
     "test_concurrent_group_runs_end_to_end",                    # 12 s
     "test_parse_prefers_device_plane_and_aggregates",           # 12 s
+    # second trim (idle-host --durations of the tier itself; the first
+    # cut left the tier at 8:47 idle — these bring it under 5 min)
+    "test_async_programming_error_raises_at_resolve",           # 43 s
+    "test_gan_trajectory_matches_torch",                        # 29 s
+    "test_vae_trajectory_matches_torch",                        # 13 s
+    "test_roundtrip_exact",                                     # 23 s
+    "test_checkpoint_save_dtype_bf16_roundtrip",                # 10 s
+    "test_birds_encoder_pretrained_load",                       # 23 s
+    "test_birds_encoder_contract",                              # 12 s
+    "test_dryrun_multichip_in_process",                         # 18 s
+    "test_vaegan_bn_groups_step_sharded_matches_unsharded",     # 16 s
+    "test_sharded_activations_match_unsharded",                 # 15 s
+    "test_statistics_from_dir_streams_in_batches",              # 11 s
+    "test_dataset_statistics_device_batches_match_host",        # 10 s
+    "test_activations_shape_and_determinism",                   # 10 s
+    "test_reproduction_skip_train",                             # 12 s
+    "test_run_vaegan_deterministic_across_runs",                # 12 s
+    "test_encoder_shapes",                                      # 10 s
+    "test_vaegan_beta_runtime_operand",                         # 10 s
+    "test_multi_scan_steps_track_sequential",                   # 10 s
+    # third trim (tier re-timed 6:11 idle; these land it under 5 min)
+    "test_vaegan_step_sharded_matches_unsharded",               # 9.5 s
+    "test_matches_flax_batchnorm_train_and_eval",               # 9.5 s
+    "test_vaegan_reproducible",                                 # 9.0 s
+    "test_bfloat16_policy",                                     # 8.7 s
+    "test_async_checkpointer_roundtrip",                        # 8.7 s
+    "test_mnist_family_contract",                               # 8.0 s
+    "test_run_vaegan_end_to_end_with_eval",                     # 7.6 s
+    "test_vaegan_intent_step_sharded_matches_unsharded",        # 7.6 s
+    "test_convert_cli_roundtrip",                               # 7.0 s
+    "test_pool3_matches_torch",                                 # 7.0 s
+    "test_profile_harness_covers_all_experiments",              # 6.4 s
+    "test_multi_checkpoint_eval_sweep",                         # 6.7 s
 }
 
 
